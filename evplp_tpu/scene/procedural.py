@@ -1,0 +1,128 @@
+"""Built-in procedural test scenes.
+
+The reference ships three OBJ scenes (conference, livingroom, buddha) as
+git-LFS stubs, so tests and benchmarks use procedural geometry with the same
+material model: Cornell-style boxes with Lambert walls, a Phong-glossy block,
+and a rectangular ceiling area light.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from evplp_tpu.scene.camera import Camera
+from evplp_tpu.scene.scene import SceneData, build_scene
+
+
+def _quad(p0, p1, p2, p3):
+    """Two triangles for quad p0 p1 p2 p3 (ccw)."""
+    pos = np.asarray([p0, p1, p2, p3], np.float32)
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int64)
+    return pos, idx
+
+
+def _box(lo, hi):
+    """Axis-aligned box as 12 triangles, geometric normals outward."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    quads = [
+        ([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1]),  # bottom -y
+        ([x0, y1, z0], [x0, y1, z1], [x1, y1, z1], [x1, y1, z0]),  # top +y
+        ([x0, y0, z0], [x0, y1, z0], [x1, y1, z0], [x1, y0, z0]),  # -z
+        ([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]),  # +z
+        ([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0]),  # -x
+        ([x1, y0, z0], [x1, y1, z0], [x1, y1, z1], [x1, y0, z1]),  # +x
+    ]
+    pos_list, idx_list = [], []
+    off = 0
+    for q in quads:
+        pos, idx = _quad(*q)
+        pos_list.append(pos)
+        idx_list.append(idx + off)
+        off += 4
+    return np.concatenate(pos_list), np.concatenate(idx_list)
+
+
+def cornell_box(light_intensity=(12.0, 12.0, 12.0, 0.0),
+                glossy_exponent: float = 30.0) -> SceneData:
+    """Cornell-style box in [0,1]^3, camera on +z looking in.
+
+    Walls Lambert (white/red/green); tall block glossy Phong; short block
+    Lambert; area light slightly below the ceiling.
+    """
+    meshes_pos, meshes_idx, kds, kss, nss = [], [], [], [], []
+
+    # room: floor, ceiling, back, left(red), right(green) — inward normals
+    room_quads = [
+        (([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]), (0.73, 0.73, 0.73)),   # floor +y
+        (([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]), (0.73, 0.73, 0.73)),   # ceiling -y
+        (([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]), (0.73, 0.73, 0.73)),   # back +z
+        (([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]), (0.65, 0.05, 0.05)),   # left +x
+        (([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]), (0.12, 0.45, 0.15)),   # right -x
+    ]
+    for quad, kd in room_quads:
+        pos, idx = _quad(*quad)
+        meshes_pos.append(pos)
+        meshes_idx.append(idx)
+        kds.append(np.asarray(kd, np.float32))
+        kss.append(np.zeros(3, np.float32))
+        nss.append(0.0)
+
+    # tall glossy block
+    pos, idx = _box([0.10, 0.0, 0.10], [0.40, 0.60, 0.40])
+    meshes_pos.append(pos)
+    meshes_idx.append(idx)
+    kds.append(np.asarray([0.05, 0.05, 0.05], np.float32))
+    kss.append(np.asarray([0.45, 0.45, 0.45], np.float32))
+    nss.append(glossy_exponent)
+
+    # short diffuse block
+    pos, idx = _box([0.55, 0.0, 0.45], [0.85, 0.30, 0.75])
+    meshes_pos.append(pos)
+    meshes_idx.append(idx)
+    kds.append(np.asarray([0.73, 0.73, 0.73], np.float32))
+    kss.append(np.zeros(3, np.float32))
+    nss.append(0.0)
+
+    # ceiling light (downward facing quad slightly below ceiling)
+    ly = 0.995
+    lpos, lidx = _quad([0.35, ly, 0.35], [0.65, ly, 0.35],
+                       [0.65, ly, 0.65], [0.35, ly, 0.65])  # faces -y (down)
+
+    camera = Camera(
+        origin=(0.5, 0.5, 2.6),
+        look_at=(0.5, 0.5, 0.0),
+        up=(0.0, 1.0, 0.0),
+        fovy=np.radians(28.0),
+        aspect=1.0,
+    )
+    return build_scene(
+        positions_list=meshes_pos,
+        indices_list=meshes_idx,
+        kd_list=kds, ks_list=kss, ns_list=nss,
+        light_positions=lpos, light_indices=lidx,
+        light_intensity=np.asarray(light_intensity, np.float32),
+        camera=camera,
+    )
+
+
+def plane_light_scene(light_intensity=(5.0, 5.0, 5.0, 0.0)) -> SceneData:
+    """Minimal scene: one diffuse floor + one overhead light quad.
+
+    Has a closed-form direct-lighting answer at the floor center for
+    analytic tests.
+    """
+    fpos, fidx = _quad([-5, 0, -5], [-5, 0, 5], [5, 0, 5], [5, 0, -5])  # +y
+    lpos, lidx = _quad([-0.5, 2.0, -0.5], [0.5, 2.0, -0.5],
+                       [0.5, 2.0, 0.5], [-0.5, 2.0, 0.5])  # faces -y
+    camera = Camera(
+        origin=(0.0, 1.0, 4.0), look_at=(0.0, 0.5, 0.0), up=(0.0, 1.0, 0.0),
+        fovy=np.radians(45.0), aspect=1.0,
+    )
+    return build_scene(
+        positions_list=[fpos], indices_list=[fidx],
+        kd_list=[np.asarray([0.5, 0.5, 0.5], np.float32)],
+        ks_list=[np.zeros(3, np.float32)], ns_list=[0.0],
+        light_positions=lpos, light_indices=lidx,
+        light_intensity=np.asarray(light_intensity, np.float32),
+        camera=camera,
+    )
