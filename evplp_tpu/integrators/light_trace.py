@@ -1,0 +1,191 @@
+"""Light/photon tracing (reference: lighttracing.cu:192-250 `tracePhotons`
+plus its closest hit :113-182).
+
+One call traces `num_paths` light subpaths for `num_records` vertices each
+(num_records = numMaxBounces + 1, rtcomphoton.h:117) and returns the photon
+map as a (P, B) SoA — the TPU replacement for the GL/OptiX interop SSBO of
+RtPhotonRecord structs (rtcomphoton/rtphotonrecord.h):
+
+  vertex 0        = sample on the emitter (usable as VPL only),
+  vertices 1..B-2 = surface hits (usable as VPL and photon),
+  vertex  B-1     = last surface hit (usable as photon only),
+  flags == 0      = path terminated before this vertex (record unusable).
+
+Flux stored at vertex k is the flux *arriving* there (before RR division and
+before the local BRDF interaction), exactly like the reference.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from evplp_tpu.core import brdf
+from evplp_tpu.core import mathutil as mu
+from evplp_tpu.core.light import light_sample
+from evplp_tpu.core.sampling import uniform_not_one
+from evplp_tpu.scene.scene import SceneData
+from evplp_tpu.trace.intersect import intersect_closest
+
+FLAG_VPL = 1
+FLAG_PHOTON = 2
+FLAG_LAMBERT_ONLY = 4
+FLAG_PHONG_ONLY = 8
+
+
+@dataclass(frozen=True)
+class PhotonMap:
+    """(P, B) SoA of light-path vertex records."""
+    pos: jnp.ndarray        # (P, B, 3)
+    normal: jnp.ndarray     # (P, B, 3)
+    flux: jnp.ndarray       # (P, B, 3) arriving flux
+    flux_dir: jnp.ndarray   # (P, B, 3) direction the flux arrived FROM
+    kd: jnp.ndarray         # (P, B, 3)
+    ks: jnp.ndarray         # (P, B, 3)
+    ns: jnp.ndarray         # (P, B)
+    p_select: jnp.ndarray   # (P, B) lambert-lobe selection probability
+    flags: jnp.ndarray      # (P, B) int32
+
+    @property
+    def num_paths(self):
+        return self.pos.shape[0]
+
+    @property
+    def num_records(self):
+        return self.pos.shape[1]
+
+    def slice_paths(self, count: int) -> "PhotonMap":
+        return PhotonMap(*(leaf[:count] for leaf in self.tree_flatten()[0]))
+
+    def flat(self) -> "PhotonMap":
+        """Collapse to (P*B, ...) record-major order (path-major like the
+        reference's pmIndex = pathId*B + bounce)."""
+        def c(x):
+            return x.reshape((-1,) + x.shape[2:])
+        return PhotonMap(*(c(leaf) for leaf in self.tree_flatten()[0]))
+
+    def tree_flatten(self):  # pragma: no cover
+        return (self.pos, self.normal, self.flux, self.flux_dir,
+                self.kd, self.ks, self.ns, self.p_select, self.flags), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):  # pragma: no cover
+        return cls(*leaves)
+
+
+jtu.register_pytree_node(PhotonMap, PhotonMap.tree_flatten, PhotonMap.tree_unflatten)
+
+
+def trace_light_paths(scene: SceneData, key, num_paths: int,
+                      num_records: int) -> PhotonMap:
+    """Trace the light subpaths. num_records >= 2."""
+    p = num_paths
+    exp = scene.light.intensity[3]
+
+    # ---- vertex 0: emitter sample + power-cosine emission direction ----
+    k_light, k_emit = jax.random.split(jax.random.fold_in(key, 0), 2)
+    u3 = jax.random.uniform(k_light, (p, 3))
+    pos0, n0, _, flux0 = light_sample(scene.light, u3)
+
+    u_emit = jax.random.uniform(k_emit, (p, 2))
+    # the reference emits through PhongSample(in=normal, n=normal, ks=1,
+    # exp=intensity.w): a power-cosine lobe around the normal with weight
+    # (exp+2)/(exp+1)*cos (lighttracing.cu:213)
+    direction, _, att = brdf.phong_sample(
+        u_emit, n0, n0, jnp.ones((p, 3)), exp)
+
+    flux = flux0 * att
+    position = pos0
+    active = jnp.ones((p,), bool)
+
+    # record buffers
+    def zeros(shape):
+        return jnp.zeros(shape, jnp.float32)
+
+    rec_pos = [pos0]
+    rec_normal = [n0]
+    rec_flux = [flux0]
+    rec_flux_dir = [n0]
+    rec_kd = [zeros((p, 3))]
+    rec_ks = [jnp.ones((p, 3))]
+    rec_ns = [jnp.full((p,), exp)]
+    rec_psel = [zeros((p,))]
+    rec_flags = [jnp.full((p,), FLAG_VPL, jnp.int32)]
+
+    # ---- bounces ----
+    for b in range(1, num_records):
+        kb = jax.random.fold_in(key, b)
+        k_sel, k_lobe, k_rr = jax.random.split(kb, 3)
+        last = b == num_records - 1
+
+        hit = intersect_closest(scene.tris, scene.bvh, position, direction,
+                                t_min=1e-4)
+        prim = jnp.maximum(hit.prim, 0)
+        next_pos = position + hit.t[:, None] * direction
+        geom_n = scene.tris.n[prim]
+
+        # rejections (lighttracing.cu:124,143): backface, emitter, black
+        ok = active & hit.valid
+        ok = ok & (mu.dot(geom_n, direction) <= 0.0)
+        ok = ok & ~scene.tri_is_light[prim]
+        kd = scene.tri_kd[prim]
+        ks = scene.tri_ks[prim]
+        ns = scene.tri_ns[prim]
+        ok = ok & ~brdf.is_black(kd, ks)
+
+        p_l = brdf.p_select_lambert(kd, ks)
+        u_sel = uniform_not_one(jax.random.uniform(k_sel, (p,)))
+        chose_l = u_sel < p_l
+
+        base_flag = FLAG_PHOTON if last else (FLAG_VPL | FLAG_PHOTON)
+
+        # RR on the arriving flux (lighttracing.cu:164-167)
+        russian = brdf.russian_prob_light(flux)
+        survive = jax.random.uniform(k_rr, (p,)) < russian
+        lobe_flag = jnp.where(chose_l, FLAG_LAMBERT_ONLY, FLAG_PHONG_ONLY)
+        # the lobe bit is set whenever RR survives — also on the last vertex,
+        # where the sampled direction is simply never traced (the reference's
+        # closest hit runs the same code for every vertex)
+        flags = jnp.where(
+            ok,
+            jnp.where(survive, base_flag | lobe_flag, base_flag),
+            0,
+        ).astype(jnp.int32)
+
+        okc = ok[:, None]
+        rec_pos.append(jnp.where(okc, next_pos, 0.0))
+        rec_normal.append(jnp.where(okc, geom_n, 0.0))
+        rec_flux.append(jnp.where(okc, flux, 0.0))
+        rec_flux_dir.append(jnp.where(okc, -direction, 0.0))
+        rec_kd.append(jnp.where(okc, kd, 0.0))
+        rec_ks.append(jnp.where(okc, ks, 0.0))
+        rec_ns.append(jnp.where(ok, ns, 0.0))
+        rec_psel.append(jnp.where(ok, p_l, 0.0))
+        rec_flags.append(flags)
+
+        if last:
+            break
+
+        flux_rr = flux / jnp.maximum(russian, 1e-8)[:, None]
+        u_lobe = jax.random.uniform(k_lobe, (p, 2))
+        new_dir, _, lobe_w, _ = brdf.sample_combined(
+            u_sel, u_lobe, -direction, geom_n, geom_n, kd, ks, ns)
+
+        active = ok & survive
+        flux = jnp.where(active[:, None], flux_rr * lobe_w, flux)
+        direction = jnp.where(active[:, None], new_dir, direction)
+        position = jnp.where(active[:, None], next_pos, position)
+
+    return PhotonMap(
+        pos=jnp.stack(rec_pos, axis=1),
+        normal=jnp.stack(rec_normal, axis=1),
+        flux=jnp.stack(rec_flux, axis=1),
+        flux_dir=jnp.stack(rec_flux_dir, axis=1),
+        kd=jnp.stack(rec_kd, axis=1),
+        ks=jnp.stack(rec_ks, axis=1),
+        ns=jnp.stack(rec_ns, axis=1),
+        p_select=jnp.stack(rec_psel, axis=1),
+        flags=jnp.stack(rec_flags, axis=1),
+    )

@@ -1,0 +1,122 @@
+"""EVPLP technique family — one jitted frame function (reference driver:
+rtcomphoton/rtcomphoton.h `run`:883-1133 and rtlvccomphoton.h).
+
+One frame = G-buffer -> light tracing -> VPL (or VSL / LVC) gather ->
+photon splat -> emitter image, all device-resident (the reference's
+GL<->OptiX interop buffers collapse into values flowing through one XLA
+program; accumulation buffers live in FrameState).
+
+Progressive-mode scalars (photon radius, clamping value, pdfMc, VSL radius)
+are *dynamic* arguments so the Knaus-Zwicker schedule (rtcomphoton.h:
+1033-1063) never retriggers compilation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
+from evplp_tpu.integrators.light_trace import trace_light_paths
+from evplp_tpu.integrators.lvc import lvc_gather
+from evplp_tpu.integrators.photon_splat import photon_splat_tiled
+from evplp_tpu.integrators.vpl import vpl_gather
+from evplp_tpu.integrators.vsl import vsl_gather
+from evplp_tpu.scene.scene import SceneData
+
+
+@dataclass(frozen=True)
+class PhotonFamConfig:
+    """Static (hashable) frame configuration."""
+    width: int
+    height: int
+    num_light_paths: int
+    num_vpl_light_paths: int
+    num_records: int            # numMaxBounces + 1
+    mis_mode: int
+    accumulate: bool            # frameMode == accumulate
+    use_jitter: bool
+    do_light_tracing: bool = True
+    do_vpl: bool = True
+    do_photon: bool = True
+    do_light_render: bool = True
+    force_vsl: bool = False
+    lvc: bool = False
+    splat_tile: int = 8
+    splat_cap: int = 128
+    splat_span: int = 4
+
+
+@dataclass(frozen=True)
+class FrameState:
+    vpl_acc: jnp.ndarray      # (N, 3)
+    photon_acc: jnp.ndarray   # (N, 3)
+    light_img: jnp.ndarray    # (N, 3) latest emitter image (not accumulated)
+    dropped: jnp.ndarray      # () int32 — splat pairs lost to caps (metric)
+
+    def tree_flatten(self):  # pragma: no cover
+        return (self.vpl_acc, self.photon_acc, self.light_img, self.dropped), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):  # pragma: no cover
+        return cls(*leaves)
+
+
+jtu.register_pytree_node(FrameState, FrameState.tree_flatten, FrameState.tree_unflatten)
+
+
+def init_state(cfg: PhotonFamConfig) -> FrameState:
+    n = cfg.width * cfg.height
+    z = jnp.zeros((n, 3), jnp.float32)
+    return FrameState(vpl_acc=z, photon_acc=z, light_img=z,
+                      dropped=jnp.zeros((), jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
+                     state: FrameState, key, radius, clamping_value,
+                     pdf_mc, vsl_radius) -> FrameState:
+    """Advance one iteration (the beforeSwap body, rtcomphoton.h:936-1005)."""
+    if cfg.use_jitter:
+        u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
+        jitter = (2.0 * u - 1.0) / jnp.asarray(
+            [cfg.width, cfg.height], jnp.float32)
+    else:
+        jitter = None
+
+    gbuf = trace_gbuffer(scene, cfg.width, cfg.height, jitter)
+
+    pm = trace_light_paths(scene, jax.random.fold_in(key, 1),
+                           cfg.num_light_paths, cfg.num_records)
+
+    vpl_acc = state.vpl_acc
+    if cfg.do_vpl and cfg.num_vpl_light_paths > 0:
+        if cfg.force_vsl:
+            img = vsl_gather(scene, gbuf, pm, jax.random.fold_in(key, 2),
+                             vsl_radius, cfg.num_vpl_light_paths)
+        elif cfg.lvc:
+            img = lvc_gather(scene, gbuf, pm, jax.random.fold_in(key, 3),
+                             cfg.mis_mode, pdf_mc, clamping_value,
+                             cfg.num_vpl_light_paths)
+        else:
+            img = vpl_gather(scene, gbuf, pm, cfg.mis_mode, pdf_mc,
+                             clamping_value, cfg.num_vpl_light_paths)
+        vpl_acc = vpl_acc + img if cfg.accumulate else img
+
+    photon_acc = state.photon_acc
+    dropped = state.dropped
+    if cfg.do_photon:
+        img, d = photon_splat_tiled(
+            scene, gbuf, pm, radius, cfg.mis_mode, pdf_mc, clamping_value,
+            1.0 / cfg.num_light_paths, cfg.width, cfg.height, jitter,
+            tile=cfg.splat_tile, cap=cfg.splat_cap, span=cfg.splat_span)
+        photon_acc = photon_acc + img if cfg.accumulate else img
+        dropped = dropped + d.astype(jnp.int32)
+
+    light_img = light_image(scene, gbuf) if cfg.do_light_render else state.light_img
+
+    return FrameState(vpl_acc=vpl_acc, photon_acc=photon_acc,
+                      light_img=light_img, dropped=dropped)

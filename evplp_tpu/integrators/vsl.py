@@ -1,0 +1,183 @@
+"""Virtual Spherical Lights gather (reference: lighttracing.cu:382-722,
+a translation of Hasan's vsl.fx; enabled by forceVsl + vslRadiusPercentage).
+
+Per (pixel, VSL) pair: one shadow segment, then a cone-solid-angle MC
+integral with 3-strategy MIS (uniform-cone, eye-BRDF, light-BRDF), with the
+reference's adaptive sample count numSamples = int(halfCone*200/pi)+1 — here
+evaluated as a fixed MAX_VSL_SAMPLES loop with per-lane masking (TPU needs
+static shapes), which computes the identical estimator.
+
+Reference quirks kept for estimator parity:
+  * MIS weights use the CUDA LambertPdfW *without* the 1/pi factor
+    (rtmaterial.cuh:40-44),
+  * pdfBrdf2's lambert term is weighted by the *shading point's*
+    pSelectLambert, and in sampleCone/sampleBrdf1 the phong term of pdfBrdf2
+    is NOT multiplied by (1 - pSelect) (lighttracing.cu:440-441,515-516).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from evplp_tpu.core import brdf
+from evplp_tpu.core import mathutil as mu
+from evplp_tpu.integrators.gbuffer import GBuffer
+from evplp_tpu.integrators.light_trace import FLAG_VPL, PhotonMap
+from evplp_tpu.scene.scene import SceneData
+from evplp_tpu.trace.intersect import occluded_segment
+
+MAX_VSL_SAMPLES = 101  # halfCone <= pi/2 -> numSamples <= 101
+
+
+def _combined_eval_f(out, inc, n, kd, ks, ns):
+    return (kd * mu.INV_PI
+            + ks * brdf.phong_eval_f(out, inc, n, ns)[..., None])
+
+
+def _pdf_brdf1(n, wi12, wi10, ks, ns, p_l):
+    return (brdf.lambert_pdf_w_nopi(n, wi12) * p_l
+            + brdf.phong_pdf_w(n, wi12, wi10, ks, ns) * (1.0 - p_l))
+
+
+def _pdf_brdf2(rec, wi12, p_l_shading):
+    """lighttracing.cu:440-441: lambert term uses the SHADING point's
+    pSelectLambert; phong term is unweighted (reference quirk)."""
+    return (brdf.lambert_pdf_w_nopi(rec["normal"], -wi12) * p_l_shading
+            + brdf.phong_pdf_w(rec["normal"], -wi12, rec["flux_dir"],
+                               rec["ks"][None, :], rec["ns"]))
+
+
+def _vsl_record(scene, gbuf, rec, key, vsl_radius, vsl_inv_pi_r2, wi10):
+    """One VSL record vs all pixels: (N, 3)."""
+    n = gbuf.position.shape[0]
+    v12 = rec["pos"][None, :] - gbuf.position
+    d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
+    dist = jnp.sqrt(d2)
+    nv12 = v12 / dist[:, None]
+
+    occ = occluded_segment(
+        scene.tris, scene.bvh,
+        jnp.broadcast_to(rec["pos"], gbuf.position.shape), gbuf.position,
+        eps=1e-4)
+
+    cos1cos2 = (jnp.maximum(mu.dot(gbuf.normal, nv12), 0.0)
+                * jnp.maximum(-mu.dot(rec["normal"], nv12), 0.0))
+    gate = (cos1cos2 > 1e-9) & ~occ & (gbuf.stencil > 0.0) \
+        & ((rec["flags"] & FLAG_VPL) != 0)
+
+    rdratio = vsl_radius / dist
+    half_cone = jnp.where(rdratio >= 1.0, jnp.pi / 2.0,
+                          jnp.arcsin(jnp.minimum(rdratio, 1.0)))
+    cos_half = jnp.cos(half_cone)
+    solid_angle = 2.0 * jnp.pi * (1.0 - cos_half)
+    inv_sa = 1.0 / jnp.maximum(solid_angle, 1e-12)
+    num_samples = (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1
+
+    p_l = brdf.p_select_lambert(gbuf.kd, gbuf.ks)
+    black1 = brdf.is_black(gbuf.kd, gbuf.ks)
+    p_l2 = brdf.p_select_lambert(rec["kd"][None, :], rec["ks"][None, :])
+    black2 = brdf.is_black(rec["kd"][None, :], rec["ks"][None, :])
+
+    flux = rec["flux"][None, :] * vsl_inv_pi_r2
+
+    def sample_step(carry, s):
+        acc = carry
+        ks_ = jax.random.fold_in(key, s)
+        k_cone, k_b1s, k_b1l, k_b2s, k_b2l = jax.random.split(ks_, 5)
+
+        # ---- strategy 1: uniform cone (lighttracing.cu:395-446) ----
+        u_cone = jax.random.uniform(k_cone, (n, 2))
+        local = mu.square_to_solid_angle(u_cone, half_cone)
+        w12c = mu.normalize(mu.from_local(local, nv12))
+        cc = (jnp.maximum(mu.dot(gbuf.normal, w12c), 0.0)
+              * jnp.maximum(-mu.dot(rec["normal"], w12c), 0.0))
+        f2 = _combined_eval_f(-w12c, rec["flux_dir"], rec["normal"],
+                              rec["kd"][None, :], rec["ks"][None, :], rec["ns"])
+        f1 = _combined_eval_f(wi10, w12c, gbuf.normal, gbuf.kd, gbuf.ks, gbuf.ns)
+        pdf_b1 = _pdf_brdf1(gbuf.normal, w12c, wi10, gbuf.ks, gbuf.ns, p_l)
+        pdf_b2 = _pdf_brdf2(rec, w12c, p_l)
+        w_cone = inv_sa / jnp.maximum(pdf_b1 + pdf_b2 + inv_sa, 1e-20)
+        c_cone = flux * (cc * solid_angle)[:, None] * f1 * f2
+        c_cone = jnp.where(((cc > 1e-9) & ~black1)[:, None],
+                           w_cone[:, None] * c_cone, 0.0)
+
+        # ---- strategy 2: eye-side BRDF sampling (:448-521) ----
+        u_sel1 = jax.random.uniform(k_b1s, (n,))
+        u_b1 = jax.random.uniform(k_b1l, (n, 2))
+        w12b, _, lobe_w1, _ = brdf.sample_combined(
+            jnp.minimum(u_sel1, 0.999999), u_b1, wi10, gbuf.normal,
+            gbuf.normal, gbuf.kd, gbuf.ks, gbuf.ns)
+        in_cone1 = mu.dot(w12b, nv12) > cos_half
+        cos1b = jnp.maximum(mu.dot(gbuf.normal, w12b), 0.0)
+        cos2b = jnp.maximum(-mu.dot(rec["normal"], w12b), 0.0)
+        f2b = _combined_eval_f(-w12b, rec["flux_dir"], rec["normal"],
+                               rec["kd"][None, :], rec["ks"][None, :], rec["ns"])
+        pdf_b1b = _pdf_brdf1(gbuf.normal, w12b, wi10, gbuf.ks, gbuf.ns, p_l)
+        pdf_b2b = _pdf_brdf2(rec, w12b, p_l)
+        w_b1 = pdf_b1b / jnp.maximum(pdf_b1b + pdf_b2b + inv_sa, 1e-20)
+        c_b1 = flux * cos2b[:, None] * lobe_w1 * f2b
+        c_b1 = jnp.where((in_cone1 & (cos1b > 1e-9) & ~black1)[:, None],
+                         w_b1[:, None] * c_b1, 0.0)
+
+        # ---- strategy 3: light-side BRDF sampling (:523-594) ----
+        u_sel2 = jax.random.uniform(k_b2s, (n,))
+        u_b2 = jax.random.uniform(k_b2l, (n, 2))
+        rec_kd = jnp.broadcast_to(rec["kd"], (n, 3))
+        rec_ks = jnp.broadcast_to(rec["ks"], (n, 3))
+        rec_n = jnp.broadcast_to(rec["normal"], (n, 3))
+        rec_in = jnp.broadcast_to(rec["flux_dir"], (n, 3))
+        w21, _, lobe_w2, _ = brdf.sample_combined(
+            jnp.minimum(u_sel2, 0.999999), u_b2, rec_in, rec_n, rec_n,
+            rec_kd, rec_ks, rec["ns"])
+        in_cone2 = -mu.dot(w21, nv12) > cos_half
+        cos2c = jnp.maximum(mu.dot(rec["normal"], w21), 0.0)
+        f1c = _combined_eval_f(wi10, -w21, gbuf.normal, gbuf.kd, gbuf.ks,
+                               gbuf.ns)
+        pdf_b1c = _pdf_brdf1(gbuf.normal, -w21, wi10, gbuf.ks, gbuf.ns, p_l)
+        # sampleBrdf2's weight block uses the shading-point pSelect again
+        # and unweighted phong, same quirk (:584-589)
+        pdf_b2c = (brdf.lambert_pdf_w_nopi(rec["normal"], w21) * p_l
+                   + brdf.phong_pdf_w(rec["normal"], w21, rec["flux_dir"],
+                                      rec_ks, rec["ns"]))
+        w_b2 = pdf_b2c / jnp.maximum(pdf_b1c + pdf_b2c + inv_sa, 1e-20)
+        c_b2 = flux * cos2c[:, None] * lobe_w2 * f1c
+        c_b2 = jnp.where((in_cone2 & (cos2c > 1e-8) & ~black1 & ~black2)[:, None],
+                         w_b2[:, None] * c_b2, 0.0)
+
+        use = (s < num_samples)[:, None]
+        return acc + jnp.where(use, c_cone + c_b1 + c_b2, 0.0), None
+
+    acc0 = jnp.zeros((n, 3), jnp.float32)
+    acc, _ = jax.lax.scan(sample_step, acc0,
+                          jnp.arange(MAX_VSL_SAMPLES, dtype=jnp.int32))
+    out = acc / jnp.maximum(num_samples.astype(jnp.float32), 1.0)[:, None]
+    return jnp.where(gate[:, None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("num_vsl_paths",))
+def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
+               vsl_radius, num_vsl_paths: int) -> jnp.ndarray:
+    """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722)."""
+    flat = pm.slice_paths(num_vsl_paths).flat()
+    cam = jnp.asarray(scene.camera.origin, jnp.float32)
+    wi10 = mu.normalize(cam[None, :] - gbuf.position)
+    vsl_inv_pi_r2 = mu.INV_PI / (vsl_radius * vsl_radius)
+
+    records = {
+        "pos": flat.pos, "normal": flat.normal, "flux": flat.flux,
+        "flux_dir": flat.flux_dir, "kd": flat.kd, "ks": flat.ks,
+        "ns": flat.ns, "p_select": flat.p_select, "flags": flat.flags,
+    }
+
+    def step(carry, xs):
+        acc, i = carry
+        rec = xs
+        contrib = _vsl_record(scene, gbuf, rec, jax.random.fold_in(key, i),
+                              vsl_radius, vsl_inv_pi_r2, wi10)
+        return (acc + contrib, i + 1), None
+
+    acc0 = jnp.zeros_like(gbuf.position)
+    (acc, _), _ = jax.lax.scan(step, (acc0, jnp.int32(0)), records)
+    return acc / float(num_vsl_paths)

@@ -1,0 +1,249 @@
+"""Headless frame loop: stop conditions, progressive schedule, dumps, stats.
+
+Replaces the reference's GLFW render loop (common/realtime.h:100-146) and
+the per-technique run() methods.  All rendering state stays on device; the
+host only advances iteration counters, the Knaus-Zwicker schedule, and the
+wall-clock stop condition (numMaxIteration / timeLimitMs,
+rtcomphoton.h:938-941,1065).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evplp_tpu.core.sampling import iteration_key
+from evplp_tpu.integrators.gbuffer import trace_gbuffer
+from evplp_tpu.integrators.photon_fam import (
+    FrameState, PhotonFamConfig, init_state, photon_fam_frame)
+from evplp_tpu.integrators.pt import render_pt_frame
+from evplp_tpu.runtime import film
+from evplp_tpu.scene.config import RenderJob
+from evplp_tpu.utils import image as im
+
+
+@dataclass
+class RunResult:
+    images: dict            # name -> (H, W, 3) numpy
+    num_iterations: int
+    time_ms: float
+    stats: dict = field(default_factory=dict)
+
+
+def _out_path(configured: str, output_dir: str | None) -> str | None:
+    if not configured:
+        return None
+    if output_dir is None:
+        return configured
+    return os.path.join(output_dir, os.path.basename(configured.replace("\\", "/")))
+
+
+def _write_stat(params, time_ms: float, iters: int, output_dir: str | None):
+    if params.use_stat and params.stat_filename:
+        path = _out_path(params.stat_filename, output_dir)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"time": time_ms, "numIterations": iters}, f, indent=4)
+
+
+class ProgressiveSchedule:
+    """Knaus-Zwicker radius/clamp schedule (rtcomphoton.h:1033-1063)."""
+
+    def __init__(self, radius0, clamp0, alpha, num_vpl, num_lp, vsl_radius0):
+        self.radius = radius0
+        self.clamp_start = clamp0
+        self.clamp = clamp0
+        self.alpha = alpha
+        self.num_vpl = num_vpl
+        self.num_lp = num_lp
+        self.vsl_radius = vsl_radius0
+        self.pdf_mc = self._pdf_mc()
+
+    def _pdf_mc(self):
+        if self.num_lp == 0:
+            return 0.0
+        return (self.num_vpl / self.num_lp) / np.pi / (self.radius * self.radius)
+
+    def update(self, num_iterations: int):
+        """Call after incrementing the iteration counter."""
+        ratio = (num_iterations + self.alpha) / (num_iterations + 1.0)
+        self.radius *= float(np.sqrt(ratio))
+        self.clamp = self.clamp_start * float(num_iterations) ** self.alpha
+        self.pdf_mc = self._pdf_mc()
+        if self.vsl_radius > 0.0:
+            self.vsl_radius = max(self.vsl_radius * float(np.sqrt(ratio)), 0.008)
+
+
+def run_photon_fam(job: RenderJob, output_dir: str | None = None,
+                   splat_tile: int = 8, splat_cap: int = 128,
+                   splat_span: int = 4, max_wall_s: float | None = None,
+                   progress_every: int = 20) -> RunResult:
+    """Full photonfam / lvcphotonfam run following the reference driver."""
+    p = job.params
+    scene = job.scene
+    num_records = p.num_max_bounces + 1
+
+    radius0 = scene.bounding_radius * p.radius_percentage
+    # avoid div-by-zero for pure-VPL configs (radiusPercentage == 0)
+    radius0 = max(radius0, 1e-6)
+    clamp0 = (1.0 / scene.total_area if p.clamping_coeff is None
+              else p.clamping_coeff)
+    vsl_radius0 = 0.0
+    if p.force_vsl:
+        vsl_radius0 = max(scene.bounding_radius * p.vsl_radius_percentage, 0.008)
+
+    sched = ProgressiveSchedule(radius0, clamp0, p.alpha_progressive,
+                                p.num_vpl_light_paths, p.num_light_paths,
+                                vsl_radius0)
+
+    cfg = PhotonFamConfig(
+        width=job.width, height=job.height,
+        num_light_paths=p.num_light_paths,
+        num_vpl_light_paths=p.num_vpl_light_paths,
+        num_records=num_records,
+        mis_mode=p.mis_mode,
+        accumulate=(p.frame_mode == "accumulate"),
+        use_jitter=p.use_jitter,
+        do_light_tracing=p.run_passes["lightTracing"],
+        do_vpl=p.run_passes["vplSplat"],
+        do_photon=p.run_passes["photonSplat"],
+        do_light_render=p.run_passes["lightRender"],
+        force_vsl=p.force_vsl,
+        lvc=(p.technique == "lvcphotonfam"),
+        splat_tile=splat_tile, splat_cap=splat_cap, splat_span=splat_span,
+    )
+
+    state = init_state(cfg)
+    iters = 0
+    t0 = time.perf_counter()
+
+    def elapsed_ms():
+        return (time.perf_counter() - t0) * 1000.0
+
+    while True:
+        if iters == p.num_max_iteration:
+            break
+        key = iteration_key(0, iters + p.rng_offset)
+        state = photon_fam_frame(
+            scene, cfg, state, key,
+            jnp.float32(sched.radius), jnp.float32(sched.clamp),
+            jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius))
+        iters += 1
+
+        if iters % progress_every == 0:
+            jax.block_until_ready(state.vpl_acc)
+            print(f"numIter: {iters} | radius: {sched.radius:.6g} | "
+                  f"clamping: {sched.clamp:.6g} | time: {elapsed_ms():.1f}ms")
+
+        if p.do_progressive:
+            sched.update(iters)
+
+        if p.write_every_frame:
+            imgs = finalize(state, cfg, iters, job)
+            path = _out_path(p.weighted_photon_filename, output_dir)
+            if path:
+                stem, ext = os.path.splitext(path)
+                im.save(f"{stem}_{iters}{ext}", imgs["combined"])
+
+        if p.time_limit_ms > 0:
+            jax.block_until_ready(state.vpl_acc)
+            if elapsed_ms() >= p.time_limit_ms:
+                break
+        if max_wall_s is not None and elapsed_ms() >= max_wall_s * 1000.0:
+            break
+
+    jax.block_until_ready(state.vpl_acc)
+    time_ms = elapsed_ms()
+    imgs = finalize(state, cfg, iters, job)
+
+    for name, fname in (("combined", p.combined_filename),
+                        ("weighted_vpl", p.weighted_vpl_filename),
+                        ("weighted_photon", p.weighted_photon_filename)):
+        path = _out_path(fname, output_dir)
+        if path:
+            im.save(path, imgs[name])
+    _write_stat(p, time_ms, iters, output_dir)
+
+    return RunResult(images=imgs, num_iterations=iters, time_ms=time_ms,
+                     stats={"dropped_splat_pairs": int(state.dropped)})
+
+
+def finalize(state: FrameState, cfg: PhotonFamConfig, iters: int,
+             job: RenderJob) -> dict:
+    """The three-way output split (rtcomphoton.h:1121-1132)."""
+    param = 1.0 if not cfg.accumulate else 1.0 / max(iters, 1)
+    light = film.to_image(state.light_img, job.width, job.height)
+    vpl = film.to_image(state.vpl_acc, job.width, job.height) * param
+    photon = film.to_image(state.photon_acc, job.width, job.height) * param
+    return {
+        "combined": light + vpl + photon,
+        "weighted_vpl": light + vpl,
+        "weighted_photon": photon,
+        "light": light,
+    }
+
+
+def run_pt(job: RenderJob, output_dir: str | None = None,
+           max_wall_s: float | None = None) -> RunResult:
+    """Path-tracing run (reference driver: rtpt/rtpt2.h:575-670)."""
+    p = job.params
+    scene = job.scene
+    n = job.width * job.height
+    accumulate = p.frame_mode == "accumulate"
+
+    @jax.jit
+    def frame(acc, light_acc, key):
+        if p.use_jitter:
+            u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
+            jitter = (2.0 * u - 1.0) / jnp.asarray(
+                [job.width, job.height], jnp.float32)
+        else:
+            jitter = None
+        gbuf = trace_gbuffer(scene, job.width, job.height, jitter)
+        result = jnp.zeros((n, 3), jnp.float32)
+        for s in range(p.num_sample_per_pixel):
+            result += render_pt_frame(scene, gbuf, jax.random.fold_in(key, s),
+                                      p.num_max_bounces)
+        result /= p.num_sample_per_pixel
+        from evplp_tpu.integrators.gbuffer import light_image
+        light = light_image(scene, gbuf)
+        new_acc = acc + result if accumulate else result
+        return new_acc, light
+
+    acc = jnp.zeros((n, 3), jnp.float32)
+    light = jnp.zeros((n, 3), jnp.float32)
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        if iters == p.num_max_iteration:
+            break
+        acc, light = frame(acc, light, iteration_key(0, iters + p.rng_offset))
+        iters += 1
+        if p.time_limit_ms > 0:
+            jax.block_until_ready(acc)
+            if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
+                break
+        if max_wall_s is not None and (time.perf_counter() - t0) >= max_wall_s:
+            break
+
+    jax.block_until_ready(acc)
+    time_ms = (time.perf_counter() - t0) * 1000.0
+
+    param = 1.0 / max(iters, 1) if accumulate else 1.0
+    final = film.composite(acc, jnp.zeros_like(acc), light,
+                           vpl_scale=param, photon_scale=0.0, light_scale=1.0)
+    imgs = {
+        "output": film.to_image(final, job.width, job.height),
+        "pt": film.to_image(acc * param, job.width, job.height),
+        "light": film.to_image(light, job.width, job.height),
+    }
+    path = _out_path(p.output_filename, output_dir)
+    if path:
+        im.save(path, imgs["output"])
+    _write_stat(p, time_ms, iters, output_dir)
+    return RunResult(images=imgs, num_iterations=iters, time_ms=time_ms)
