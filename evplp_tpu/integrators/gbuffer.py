@@ -43,14 +43,16 @@ jtu.register_pytree_node(GBuffer, GBuffer.tree_flatten, GBuffer.tree_unflatten)
 
 
 def trace_gbuffer(scene: SceneData, width: int, height: int,
-                  jitter_ndc=None) -> GBuffer:
-    """Trace primary rays and gather shading data.
+                  jitter_ndc=None, row_start=0, row_count=None) -> GBuffer:
+    """Trace primary rays and gather shading data (optionally only a
+    horizontal band [row_start, row_start+row_count) for pixel sharding).
 
     The emitter mesh participates like any geometry but carries black
     material (rtcommon.h:786-791), so downstream estimators naturally
     produce zero there — matching the reference.
     """
-    o, d = scene.camera.generate_rays(width, height, jitter_ndc)
+    o, d = scene.camera.generate_rays(width, height, jitter_ndc,
+                                      row_start=row_start, row_count=row_count)
     hit = intersect_closest(scene.tris, scene.bvh, o, d, t_min=1e-4)
     valid = hit.valid
     prim = jnp.maximum(hit.prim, 0)

@@ -75,7 +75,17 @@ def init_state(cfg: PhotonFamConfig) -> FrameState:
                       dropped=jnp.zeros((), jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+# Each pass is jitted separately: one fused mega-program compiles ~5x
+# slower in XLA for no runtime benefit (every pass is already a fat kernel
+# over HBM-resident arrays).
+_gbuffer_jit = partial(jax.jit, static_argnames=("width", "height"))(
+    trace_gbuffer)
+_light_trace_jit = partial(jax.jit,
+                           static_argnames=("num_paths", "num_records"))(
+    trace_light_paths)
+_light_image_jit = jax.jit(light_image)
+
+
 def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
                      state: FrameState, key, radius, clamping_value,
                      pdf_mc, vsl_radius) -> FrameState:
@@ -87,10 +97,10 @@ def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
     else:
         jitter = None
 
-    gbuf = trace_gbuffer(scene, cfg.width, cfg.height, jitter)
+    gbuf = _gbuffer_jit(scene, cfg.width, cfg.height, jitter)
 
-    pm = trace_light_paths(scene, jax.random.fold_in(key, 1),
-                           cfg.num_light_paths, cfg.num_records)
+    pm = _light_trace_jit(scene, jax.random.fold_in(key, 1),
+                          cfg.num_light_paths, cfg.num_records)
 
     vpl_acc = state.vpl_acc
     if cfg.do_vpl and cfg.num_vpl_light_paths > 0:
@@ -116,7 +126,8 @@ def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
         photon_acc = photon_acc + img if cfg.accumulate else img
         dropped = dropped + d.astype(jnp.int32)
 
-    light_img = light_image(scene, gbuf) if cfg.do_light_render else state.light_img
+    light_img = _light_image_jit(scene, gbuf) if cfg.do_light_render \
+        else state.light_img
 
     return FrameState(vpl_acc=vpl_acc, photon_acc=photon_acc,
                       light_img=light_img, dropped=dropped)

@@ -184,11 +184,15 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
                        radius, mis_mode: int, pdf_mc, clamping_value,
                        inv_num_light_paths, width: int, height: int,
                        jitter_ndc=None, tile: int = 8, cap: int = 128,
-                       span: int = 4):
+                       span: int = 4, row_offset=None, full_height=None):
     """Tile-binned splat. Returns (image (N,3), dropped_pairs count).
 
     dropped_pairs counts (photon, tile) pairs lost to the per-tile capacity
     or to footprints wider than `span` tiles — the no-silent-caps meter.
+
+    For pixel-sharded execution, gbuf covers rows
+    [row_offset, row_offset+height) of a full_height-tall film: projection
+    uses the full film, binning the local window.
     """
     ph = _photon_major(pm, mis_mode, pdf_mc)
     m = ph["pos"].shape[0]
@@ -196,16 +200,28 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
     ty_n = -(-height // tile)
     nt = tx_n * ty_n
 
-    px, py, z, in_front, sx, sy = _project(scene, ph["pos"], width, height,
-                                           jitter_ndc)
+    px, py, z, in_front, sx, sy = _project(
+        scene, ph["pos"], width,
+        height if full_height is None else full_height, jitter_ndc)
+    if row_offset is not None:
+        py = py - row_offset
     r_px_x = radius / z * sx + 1.0
     r_px_y = radius / z * sy + 1.0
     gate = ph["gate"] & in_front
 
-    tx0 = jnp.clip(jnp.floor((px - r_px_x) / tile).astype(jnp.int32), 0, tx_n - 1)
-    tx1 = jnp.clip(jnp.floor((px + r_px_x) / tile).astype(jnp.int32), 0, tx_n - 1)
-    ty0 = jnp.clip(jnp.floor((py - r_px_y) / tile).astype(jnp.int32), 0, ty_n - 1)
-    ty1 = jnp.clip(jnp.floor((py + r_px_y) / tile).astype(jnp.int32), 0, ty_n - 1)
+    # unclipped tile ranges; a photon is relevant only if its footprint
+    # intersects this film window at all
+    tx0u = jnp.floor((px - r_px_x) / tile).astype(jnp.int32)
+    tx1u = jnp.floor((px + r_px_x) / tile).astype(jnp.int32)
+    ty0u = jnp.floor((py - r_px_y) / tile).astype(jnp.int32)
+    ty1u = jnp.floor((py + r_px_y) / tile).astype(jnp.int32)
+    gate = gate & (tx1u >= 0) & (tx0u <= tx_n - 1) \
+        & (ty1u >= 0) & (ty0u <= ty_n - 1)
+
+    tx0 = jnp.clip(tx0u, 0, tx_n - 1)
+    tx1 = jnp.clip(tx1u, 0, tx_n - 1)
+    ty0 = jnp.clip(ty0u, 0, ty_n - 1)
+    ty1 = jnp.clip(ty1u, 0, ty_n - 1)
 
     # center-crop footprints wider than span tiles (counted as dropped)
     cx = jnp.clip(jnp.floor(px / tile).astype(jnp.int32), 0, tx_n - 1)
@@ -232,12 +248,15 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
         jnp.arange(m, dtype=jnp.int32)[:, None, None],
         (m, span, span)).reshape(-1)
 
-    # sort pairs by tile; rank within tile via searchsorted
+    # sort pairs by tile; rank within each tile run via neighbor-diff +
+    # cumulative max (O(M), cheaper than a second searchsorted)
     order = jnp.argsort(tid)
     stid = tid[order]
     sphoton = pair_photon[order]
-    first_of_tid = jnp.searchsorted(stid, stid, side="left")
-    rank = jnp.arange(stid.shape[0], dtype=jnp.int32) - first_of_tid.astype(jnp.int32)
+    idx = jnp.arange(stid.shape[0], dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), stid[1:] != stid[:-1]])
+    run_first = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - run_first
 
     keep = (stid < nt) & (rank < cap)
     dropped = jnp.sum((stid < nt) & (rank >= cap)) + jnp.sum(wide & gate)
@@ -277,19 +296,30 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
     r2 = radius * radius
     kde = mu.INV_PI / r2 * inv_num_light_paths
 
-    def chunk(acc, c):
-        idx = table[:, c]                                # (NT,)
+    # process the capacity dimension in fat chunks: each scan step evaluates
+    # CK photons per tile against the tile's pixels as one dense op
+    ck = min(16, cap)
+    n_ck = -(-cap // ck)
+    pad_ck = n_ck * ck - cap
+    table_c = jnp.pad(table, ((0, 0), (0, pad_ck)), constant_values=-1)
+    table_c = table_c.reshape(nt, n_ck, ck).transpose(1, 0, 2)  # (n_ck, NT, ck)
+
+    def chunk(acc, idx):
+        # idx: (NT, ck) photon ids or -1
         ok = idx >= 0
         g = jnp.maximum(idx, 0)
-        rec = {k: v[g][:, None, ...] for k, v in ph.items()}
-        rec["gate"] = rec["gate"] & ok[:, None]
-        contrib = _splat_eval(rec, px_pos, px_n, px_kd, px_ks, px_ns,
-                              px_w10, px_st, r2, kde, mis_mode,
+        # photon-major fields -> (NT, ck, 1, ...) broadcasting vs pixels
+        rec = {k: v[g][:, :, None, ...] for k, v in ph.items()}
+        rec["gate"] = rec["gate"] & ok[:, :, None]
+        contrib = _splat_eval(rec, px_pos[:, None], px_n[:, None],
+                              px_kd[:, None], px_ks[:, None],
+                              px_ns[:, None], px_w10[:, None],
+                              px_st[:, None], r2, kde, mis_mode,
                               clamping_value)
-        return acc + contrib, None
+        return acc + jnp.sum(contrib, axis=1), None
 
     acc0 = jnp.zeros((nt, tile * tile, 3), jnp.float32)
-    acc, _ = jax.lax.scan(chunk, acc0, jnp.arange(cap))
+    acc, _ = jax.lax.scan(chunk, acc0, table_c)
 
     # unblockify -> (H*W, 3)
     img = acc.reshape(ty_n, tx_n, tile, tile, 3).transpose(0, 2, 1, 3, 4)

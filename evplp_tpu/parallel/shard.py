@@ -1,0 +1,166 @@
+"""Multi-chip execution: pixel-sharded film + ring-rotated light blocks.
+
+The reference is strictly single-GPU (SURVEY.md §2.4); its only "transport"
+is GL<->OptiX interop.  The TPU design shards the two big axes the renderer
+actually has:
+
+  * film rows  -> data-parallel shards over the mesh axis "px",
+  * light paths -> one block per device; VPL gather and photon splat see
+    every block by rotating blocks around the ring with lax.ppermute
+    (the ring-attention/blockwise pattern applied to the dense
+    pixels x light-vertices interaction: pixels stay put, light blocks
+    ride the ICI ring),
+  * framebuffers never need a psum: each device only ever shades its own
+    rows; the ring delivers all remote photons to them.
+
+RNG is block-indexed (fold_in by block id == ring position), so the traced
+light paths are the same set regardless of device count — the basis for the
+shard-invariance tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
+from evplp_tpu.integrators.light_trace import trace_light_paths
+from evplp_tpu.integrators.photon_fam import FrameState, PhotonFamConfig
+from evplp_tpu.integrators.photon_splat import photon_splat_tiled
+from evplp_tpu.integrators.pt import render_pt_frame
+from evplp_tpu.integrators.vpl import vpl_gather
+from evplp_tpu.scene.scene import SceneData
+
+AXIS = "px"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (AXIS,))
+
+
+def _local_rows(height: int, n: int):
+    assert height % n == 0, f"height {height} must divide device count {n}"
+    return height // n
+
+
+def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
+                             mesh: Mesh, state: FrameState, key,
+                             radius, clamping_value, pdf_mc):
+    """One EVPLP frame over the mesh. state buffers are sharded on rows.
+
+    cfg.num_light_paths / num_vpl_light_paths are GLOBAL counts; each device
+    traces one block of paths (block id == its ring position) and blocks
+    rotate so every pixel shard integrates over every block.
+    """
+    n = mesh.devices.size
+    rows = _local_rows(cfg.height, n)
+    paths_blk = cfg.num_light_paths // n
+    vpl_blk = max(cfg.num_vpl_light_paths // n, 1) \
+        if cfg.num_vpl_light_paths else 0
+
+    def frame(state, key, radius, clamping_value, pdf_mc):
+        d = jax.lax.axis_index(AXIS)
+
+        if cfg.use_jitter:
+            u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
+            jitter = (2.0 * u - 1.0) / jnp.asarray(
+                [cfg.width, cfg.height], jnp.float32)
+        else:
+            jitter = None
+
+        gbuf = trace_gbuffer(scene, cfg.width, cfg.height, jitter,
+                             row_start=d * rows, row_count=rows)
+
+        # trace the local block; RNG indexed by BLOCK id (device-count
+        # invariant set of light paths)
+        pm = trace_light_paths(scene, jax.random.fold_in(
+            jax.random.fold_in(key, 1), d), paths_blk, cfg.num_records)
+
+        vpl_img = jnp.zeros((rows * cfg.width, 3), jnp.float32)
+        photon_img = jnp.zeros((rows * cfg.width, 3), jnp.float32)
+        dropped = jnp.zeros((), jnp.int32)
+
+        block = pm
+        for step in range(n):
+            if cfg.do_vpl and vpl_blk:
+                vpl_img = vpl_img + vpl_gather(
+                    scene, gbuf, block, cfg.mis_mode, pdf_mc,
+                    clamping_value, vpl_blk) * (vpl_blk / cfg.num_vpl_light_paths)
+            if cfg.do_photon:
+                img, drop = photon_splat_tiled(
+                    scene, gbuf, block, radius, cfg.mis_mode, pdf_mc,
+                    clamping_value, 1.0 / cfg.num_light_paths,
+                    cfg.width, rows, jitter,
+                    tile=cfg.splat_tile, cap=cfg.splat_cap,
+                    span=cfg.splat_span,
+                    row_offset=jnp.float32(d * rows),
+                    full_height=cfg.height)
+                photon_img = photon_img + img
+                dropped = dropped + drop.astype(jnp.int32)
+            if step != n - 1:
+                perm = [(i, (i + 1) % n) for i in range(n)]
+                block = jax.lax.ppermute(block, AXIS, perm)
+
+        light_img = light_image(scene, gbuf) if cfg.do_light_render \
+            else state.light_img
+
+        vpl_acc = state.vpl_acc + vpl_img if cfg.accumulate else vpl_img
+        photon_acc = (state.photon_acc + photon_img if cfg.accumulate
+                      else photon_img)
+        return FrameState(vpl_acc=vpl_acc, photon_acc=photon_acc,
+                          light_img=light_img,
+                          dropped=state.dropped + jax.lax.psum(dropped, AXIS))
+
+    state_spec = FrameState(vpl_acc=P(AXIS), photon_acc=P(AXIS),
+                            light_img=P(AXIS), dropped=P())
+    fn = jax.jit(
+        jax.shard_map(
+            frame, mesh=mesh,
+            in_specs=(state_spec, P(), P(), P(), P()),
+            out_specs=state_spec,
+            check_vma=False,
+        ))
+    return fn(state, key, jnp.float32(radius), jnp.float32(clamping_value),
+              jnp.float32(pdf_mc))
+
+
+def sharded_pt_frame(scene: SceneData, mesh: Mesh, width: int, height: int,
+                     key, num_bounces: int, use_jitter: bool = True):
+    """Pixel-sharded path-tracing frame: embarrassingly data-parallel."""
+    n = mesh.devices.size
+    rows = _local_rows(height, n)
+
+    def frame(key):
+        d = jax.lax.axis_index(AXIS)
+        if use_jitter:
+            u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
+            jitter = (2.0 * u - 1.0) / jnp.asarray([width, height], jnp.float32)
+        else:
+            jitter = None
+        gbuf = trace_gbuffer(scene, width, height, jitter,
+                             row_start=d * rows, row_count=rows)
+        img = render_pt_frame(scene, gbuf,
+                              jax.random.fold_in(key, d + 17), num_bounces)
+        return img, light_image(scene, gbuf)
+
+    fn = jax.jit(
+        jax.shard_map(frame, mesh=mesh, in_specs=(P(),),
+                      out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+    return fn(key)
+
+
+def shard_state(state: FrameState, mesh: Mesh) -> FrameState:
+    """Place accumulation buffers row-sharded on the mesh."""
+    s = NamedSharding(mesh, P(AXIS))
+    r = NamedSharding(mesh, P())
+    return FrameState(
+        vpl_acc=jax.device_put(state.vpl_acc, s),
+        photon_acc=jax.device_put(state.photon_acc, s),
+        light_img=jax.device_put(state.light_img, s),
+        dropped=jax.device_put(state.dropped, r),
+    )

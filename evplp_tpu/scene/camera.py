@@ -50,23 +50,27 @@ class Camera:
         upv = jnp.cross(right, fwd)
         return origin, fwd, right, upv
 
-    def generate_rays(self, width: int, height: int, jitter_ndc=None):
-        """Primary rays for the full film.
+    def generate_rays(self, width: int, height: int, jitter_ndc=None,
+                      row_start=0, row_count=None):
+        """Primary rays for the film (or a horizontal band of it, for
+        pixel-sharded execution).
 
         jitter_ndc: optional (2,) global NDC translation per frame,
         mirroring the reference's whole-image jitter matrix
         (rtcomphoton.h:946-952).  The image shifted by +j means sampling
         geometry at (ndc - j).
 
-        Returns (origins (H*W, 3), directions (H*W, 3)).
+        Returns (origins (rows*W, 3), directions (rows*W, 3)).
         """
         origin, fwd, right, upv = self.basis()
         tan_half_fovy = math.tan(self.fovy * 0.5)
         tan_half_fovx = tan_half_fovy * self.aspect
+        rows = height if row_count is None else row_count
 
         xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-        ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
-        ndc_x = jnp.tile(xs, (height,))
+        row_idx = row_start + jnp.arange(rows, dtype=jnp.float32)
+        ys = 1.0 - (row_idx + 0.5) / height * 2.0
+        ndc_x = jnp.tile(xs, (rows,))
         ndc_y = jnp.repeat(ys, width)
         if jitter_ndc is not None:
             ndc_x = ndc_x - jitter_ndc[0]
