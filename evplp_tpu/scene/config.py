@@ -133,9 +133,14 @@ def load_config(path: str) -> RenderJob:
     width = int(cfg["resX"])
     height = int(cfg["resY"])
 
-    positions, indices, kds, kss, nss, uvs = [], [], [], [], [], []
+    from evplp_tpu.scene.textures import TexturePoolBuilder
+
+    pool = TexturePoolBuilder()
+    positions, indices, kds, kss, nss, uvs, layers = [], [], [], [], [], [], []
     for obj_rel in cfg["scene"]:
-        meshes, materials = load_obj(os.path.join(base, obj_rel))
+        obj_path = os.path.join(base, obj_rel)
+        obj_dir = os.path.dirname(obj_path)
+        meshes, materials = load_obj(obj_path)
         for m in meshes:
             mat = materials[m.material]
             positions.append(m.positions)
@@ -144,6 +149,13 @@ def load_config(path: str) -> RenderJob:
             kss.append(mat.ks)
             nss.append(mat.ns)
             uvs.append(m.texcoords)
+            layer = -1
+            if mat.map_kd:
+                tex_path = os.path.join(obj_dir, mat.map_kd)
+                if os.path.exists(tex_path):
+                    layer = pool.add_file(tex_path)
+            layers.append(layer)
+    tex_data, tex_size = pool.build()
 
     light_cfg = cfg["arealight"]
     lmeshes, _ = load_obj(os.path.join(base, light_cfg["obj"]))
@@ -169,6 +181,7 @@ def load_config(path: str) -> RenderJob:
         kd_list=kds, ks_list=kss, ns_list=nss,
         light_positions=lpos, light_indices=lidx,
         light_intensity=intensity, camera=camera, uv_list=uvs,
+        kd_layer_list=layers, tex_data=tex_data, tex_size=tex_size,
     )
 
     tech = next((k for k in TECHNIQUE_KEYS if k in cfg), None)

@@ -30,6 +30,9 @@ class SceneData:
     tri_uv0: jnp.ndarray      # (T, 2) texcoords (textures: see scene.textures)
     tri_uv1: jnp.ndarray
     tri_uv2: jnp.ndarray
+    tri_kd_layer: jnp.ndarray  # (T,) int32 texture layer for map_Kd, -1 = const
+    tex_data: jnp.ndarray     # (L, TH, TW, 3) texture pool
+    tex_size: jnp.ndarray     # (L, 2) per-layer (h, w)
     light: AreaLight
     # --- static (hashable aux) ---
     camera: Camera
@@ -43,6 +46,7 @@ class SceneData:
     def tree_flatten(self):  # pragma: no cover
         leaves = (self.tris, self.bvh, self.tri_kd, self.tri_ks, self.tri_ns,
                   self.tri_is_light, self.tri_uv0, self.tri_uv1, self.tri_uv2,
+                  self.tri_kd_layer, self.tex_data, self.tex_size,
                   self.light)
         aux = (self.camera, self.bounding_radius, self.total_area)
         return leaves, aux
@@ -66,6 +70,9 @@ def build_scene(
     light_intensity: np.ndarray,
     camera: Camera,
     uv_list: list[np.ndarray] | None = None,
+    kd_layer_list: list[int] | None = None,
+    tex_data: np.ndarray | None = None,
+    tex_size: np.ndarray | None = None,
 ) -> SceneData:
     """Assemble a SceneData from per-mesh host arrays.
 
@@ -77,9 +84,9 @@ def build_scene(
     RtScene::mMeshes, rtcommon.h:772-801).
     """
     v0s, v1s, v2s, kds, kss, nss, lights = [], [], [], [], [], [], []
-    uv0s, uv1s, uv2s = [], [], []
+    uv0s, uv1s, uv2s, layers = [], [], [], []
 
-    def add_mesh(pos, idx, kd, ks, ns, is_light, uv=None):
+    def add_mesh(pos, idx, kd, ks, ns, is_light, uv=None, kd_layer=-1):
         pos = np.asarray(pos, np.float32).reshape(-1, 3)
         idx = np.asarray(idx, np.int64).reshape(-1, 3)
         t = idx.shape[0]
@@ -96,10 +103,13 @@ def build_scene(
         uv0s.append(uv[idx[:, 0]])
         uv1s.append(uv[idx[:, 1]])
         uv2s.append(uv[idx[:, 2]])
+        layers.append(np.full((t,), kd_layer, np.int32))
 
     for i, (pos, idx) in enumerate(zip(positions_list, indices_list)):
         uv = uv_list[i] if uv_list is not None else None
-        add_mesh(pos, idx, kd_list[i], ks_list[i], ns_list[i], False, uv)
+        layer = kd_layer_list[i] if kd_layer_list is not None else -1
+        add_mesh(pos, idx, kd_list[i], ks_list[i], ns_list[i], False, uv,
+                 kd_layer=layer)
     add_mesh(light_positions, light_indices, np.zeros(3), np.zeros(3), 0.0, True)
 
     v0 = np.concatenate(v0s)
@@ -112,6 +122,7 @@ def build_scene(
     uv0 = np.concatenate(uv0s)
     uv1 = np.concatenate(uv1s)
     uv2 = np.concatenate(uv2s)
+    kd_layer = np.concatenate(layers)
 
     # scene statistics (reference semantics)
     areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
@@ -123,7 +134,7 @@ def build_scene(
     bvh, perm = build_bvh(v0, v1, v2)
     v0, v1, v2 = v0[perm], v1[perm], v2[perm]
     kd, ks, ns, is_light = kd[perm], ks[perm], ns[perm], is_light[perm]
-    uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
+    uv0, uv1, uv2, kd_layer = uv0[perm], uv1[perm], uv2[perm], kd_layer[perm]
 
     e1 = v1 - v0
     e2 = v2 - v0
@@ -139,11 +150,16 @@ def build_scene(
         np.asarray(light_indices, np.int64),
         np.asarray(light_intensity, np.float32),
     )
+    if tex_data is None:
+        tex_data = np.zeros((1, 1, 1, 3), np.float32)
+        tex_size = np.ones((1, 2), np.int32)
     return SceneData(
         tris=tris, bvh=bvh,
         tri_kd=jnp.asarray(kd), tri_ks=jnp.asarray(ks), tri_ns=jnp.asarray(ns),
         tri_is_light=jnp.asarray(is_light),
         tri_uv0=jnp.asarray(uv0), tri_uv1=jnp.asarray(uv1), tri_uv2=jnp.asarray(uv2),
+        tri_kd_layer=jnp.asarray(kd_layer),
+        tex_data=jnp.asarray(tex_data), tex_size=jnp.asarray(tex_size),
         light=light,
         camera=camera,
         bounding_radius=bounding_radius,
