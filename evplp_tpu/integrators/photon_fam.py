@@ -88,8 +88,15 @@ _light_image_jit = jax.jit(light_image)
 
 def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
                      state: FrameState, key, radius, clamping_value,
-                     pdf_mc, vsl_radius) -> FrameState:
-    """Advance one iteration (the beforeSwap body, rtcomphoton.h:936-1005)."""
+                     pdf_mc, vsl_radius, timer=None) -> FrameState:
+    """Advance one iteration (the beforeSwap body, rtcomphoton.h:936-1005).
+
+    timer: optional runtime.profiling.PassTimer for per-pass device timing.
+    """
+    if timer is None:
+        from evplp_tpu.runtime.profiling import PassTimer
+        timer = PassTimer(enabled=False)
+
     if cfg.use_jitter:
         u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
         jitter = (2.0 * u - 1.0) / jnp.asarray(
@@ -97,30 +104,37 @@ def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
     else:
         jitter = None
 
-    gbuf = _gbuffer_jit(scene, cfg.width, cfg.height, jitter)
+    gbuf = timer.time_call("gbuffer", _gbuffer_jit, scene, cfg.width,
+                           cfg.height, jitter)
 
-    pm = _light_trace_jit(scene, jax.random.fold_in(key, 1),
-                          cfg.num_light_paths, cfg.num_records)
+    pm = timer.time_call("light_trace", _light_trace_jit, scene,
+                         jax.random.fold_in(key, 1),
+                         cfg.num_light_paths, cfg.num_records)
 
     vpl_acc = state.vpl_acc
     if cfg.do_vpl and cfg.num_vpl_light_paths > 0:
         if cfg.force_vsl:
-            img = vsl_gather(scene, gbuf, pm, jax.random.fold_in(key, 2),
-                             vsl_radius, cfg.num_vpl_light_paths)
+            img = timer.time_call(
+                "vsl_gather", vsl_gather, scene, gbuf, pm,
+                jax.random.fold_in(key, 2), vsl_radius,
+                cfg.num_vpl_light_paths)
         elif cfg.lvc:
-            img = lvc_gather(scene, gbuf, pm, jax.random.fold_in(key, 3),
-                             cfg.mis_mode, pdf_mc, clamping_value,
-                             cfg.num_vpl_light_paths)
+            img = timer.time_call(
+                "lvc_gather", lvc_gather, scene, gbuf, pm,
+                jax.random.fold_in(key, 3), cfg.mis_mode, pdf_mc,
+                clamping_value, cfg.num_vpl_light_paths)
         else:
-            img = vpl_gather(scene, gbuf, pm, cfg.mis_mode, pdf_mc,
-                             clamping_value, cfg.num_vpl_light_paths)
+            img = timer.time_call(
+                "vpl_gather", vpl_gather, scene, gbuf, pm, cfg.mis_mode,
+                pdf_mc, clamping_value, cfg.num_vpl_light_paths)
         vpl_acc = vpl_acc + img if cfg.accumulate else img
 
     photon_acc = state.photon_acc
     dropped = state.dropped
     if cfg.do_photon:
-        img, d = photon_splat_tiled(
-            scene, gbuf, pm, radius, cfg.mis_mode, pdf_mc, clamping_value,
+        img, d = timer.time_call(
+            "photon_splat", photon_splat_tiled, scene, gbuf, pm, radius,
+            cfg.mis_mode, pdf_mc, clamping_value,
             1.0 / cfg.num_light_paths, cfg.width, cfg.height, jitter,
             tile=cfg.splat_tile, cap=cfg.splat_cap, span=cfg.splat_span)
         photon_acc = photon_acc + img if cfg.accumulate else img

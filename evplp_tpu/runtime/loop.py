@@ -82,11 +82,24 @@ class ProgressiveSchedule:
 def run_photon_fam(job: RenderJob, output_dir: str | None = None,
                    splat_tile: int = 8, splat_cap: int = 128,
                    splat_span: int = 4, max_wall_s: float | None = None,
-                   progress_every: int = 20) -> RunResult:
-    """Full photonfam / lvcphotonfam run following the reference driver."""
+                   progress_every: int = 20,
+                   checkpoint_path: str | None = None,
+                   checkpoint_every: int | None = None,
+                   resume_from: str | None = None,
+                   profile: bool | None = None) -> RunResult:
+    """Full photonfam / lvcphotonfam run following the reference driver.
+
+    checkpoint_path/_every + resume_from: progressive-state checkpointing
+    (runtime.checkpoint) — an addition over the reference, which has none.
+    profile: per-pass device timing into RunResult.stats["passes"].
+    """
+    from evplp_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from evplp_tpu.runtime.profiling import PassTimer
+
     p = job.params
     scene = job.scene
     num_records = p.num_max_bounces + 1
+    timer = PassTimer(enabled=profile)
 
     radius0 = scene.bounding_radius * p.radius_percentage
     # avoid div-by-zero for pure-VPL configs (radiusPercentage == 0)
@@ -120,7 +133,15 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
 
     state = init_state(cfg)
     iters = 0
+    if resume_from:
+        state, iters, fields = load_checkpoint(resume_from)
+        sched.radius = fields["radius"]
+        sched.clamp = fields["clamp"]
+        sched.clamp_start = fields["clamp_start"]
+        sched.vsl_radius = fields["vsl_radius"]
+        sched.pdf_mc = fields["pdf_mc"]
     t0 = time.perf_counter()
+    prev_ms = 0.0
 
     def elapsed_ms():
         return (time.perf_counter() - t0) * 1000.0
@@ -132,16 +153,34 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         state = photon_fam_frame(
             scene, cfg, state, key,
             jnp.float32(sched.radius), jnp.float32(sched.clamp),
-            jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius))
+            jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius),
+            timer=timer)
         iters += 1
 
         if iters % progress_every == 0:
             jax.block_until_ready(state.vpl_acc)
+            now = elapsed_ms()
+            frame_ms = (now - prev_ms) / progress_every
+            prev_ms = now
             print(f"numIter: {iters} | radius: {sched.radius:.6g} | "
-                  f"clamping: {sched.clamp:.6g} | time: {elapsed_ms():.1f}ms")
+                  f"clamping: {sched.clamp:.6g} | time: {now:.1f}ms")
+            # adaptive light-path suggestion (log-only, rtcomphoton.h:1017-1030)
+            if p.target_rendering_time > 0 and frame_ms > 0:
+                factor = p.target_rendering_time / frame_ms
+                if p.num_vpl_light_paths:
+                    new_vpl = int(p.num_vpl_light_paths * factor)
+                    ratio = p.num_light_paths // max(p.num_vpl_light_paths, 1)
+                    print(f"change number of samples: {factor:.3f} | "
+                          f"Nb light paths: {new_vpl * ratio} | "
+                          f"Nb VPL paths: {new_vpl}")
+                else:
+                    print(f"Nb light paths: {int(p.num_light_paths * factor)}")
 
         if p.do_progressive:
             sched.update(iters)
+
+        if checkpoint_path and checkpoint_every and iters % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, state, iters, sched)
 
         if p.write_every_frame:
             imgs = finalize(state, cfg, iters, job)
@@ -169,8 +208,14 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
             im.save(path, imgs[name])
     _write_stat(p, time_ms, iters, output_dir)
 
+    if checkpoint_path and checkpoint_every:
+        save_checkpoint(checkpoint_path, state, iters, sched)
+
+    stats = {"dropped_splat_pairs": int(state.dropped)}
+    if timer.enabled:
+        stats["passes"] = timer.report()
     return RunResult(images=imgs, num_iterations=iters, time_ms=time_ms,
-                     stats={"dropped_splat_pairs": int(state.dropped)})
+                     stats=stats)
 
 
 def finalize(state: FrameState, cfg: PhotonFamConfig, iters: int,
