@@ -105,6 +105,60 @@ def cornell_box(light_intensity=(12.0, 12.0, 12.0, 0.0),
     )
 
 
+def box_field(num_boxes: int = 2000, seed: int = 0,
+              light_intensity=(40.0, 38.0, 30.0, 0.0)) -> SceneData:
+    """Large scene for BVH-path benchmarking: a field of random boxes
+    (~12*num_boxes triangles) in a Cornell-style room with a ceiling light."""
+    rng = np.random.default_rng(seed)
+    meshes_pos, meshes_idx, kds, kss, nss = [], [], [], [], []
+
+    # room shell (reuse the cornell walls scaled to [0,4]^2 x [0,2])
+    room_quads = [
+        ([0, 0, 0], [0, 0, 4], [4, 0, 4], [4, 0, 0]),   # floor +y
+        ([0, 2, 0], [4, 2, 0], [4, 2, 4], [0, 2, 4]),   # ceiling -y
+        ([0, 0, 0], [4, 0, 0], [4, 2, 0], [0, 2, 0]),   # back +z
+        ([0, 0, 0], [0, 2, 0], [0, 2, 4], [0, 0, 4]),   # left +x
+        ([4, 0, 0], [4, 0, 4], [4, 2, 4], [4, 2, 0]),   # right -x
+    ]
+    for quad in room_quads:
+        pos, idx = _quad(*quad)
+        meshes_pos.append(pos)
+        meshes_idx.append(idx)
+        kds.append(np.asarray([0.7, 0.7, 0.7], np.float32))
+        kss.append(np.zeros(3, np.float32))
+        nss.append(0.0)
+
+    centers = rng.uniform([0.2, 0.0, 0.2], [3.8, 1.0, 3.8], (num_boxes, 3))
+    sizes = rng.uniform(0.02, 0.08, (num_boxes, 3))
+    pos_list, idx_list = [], []
+    off = 0
+    for c, s in zip(centers, sizes):
+        pos, idx = _box(c - s, c + s)
+        pos_list.append(pos)
+        idx_list.append(idx + off)
+        off += pos.shape[0]
+    meshes_pos.append(np.concatenate(pos_list))
+    meshes_idx.append(np.concatenate(idx_list))
+    kds.append(np.asarray([0.4, 0.45, 0.6], np.float32))
+    kss.append(np.asarray([0.2, 0.2, 0.2], np.float32))
+    nss.append(15.0)
+
+    ly = 1.99
+    lpos, lidx = _quad([1.6, ly, 1.6], [2.4, ly, 1.6],
+                       [2.4, ly, 2.4], [1.6, ly, 2.4])
+    camera = Camera(
+        origin=(2.0, 1.2, 7.0), look_at=(2.0, 0.8, 0.0), up=(0.0, 1.0, 0.0),
+        fovy=np.radians(35.0), aspect=1.0,
+    )
+    return build_scene(
+        positions_list=meshes_pos, indices_list=meshes_idx,
+        kd_list=kds, ks_list=kss, ns_list=nss,
+        light_positions=lpos, light_indices=lidx,
+        light_intensity=np.asarray(light_intensity, np.float32),
+        camera=camera,
+    )
+
+
 def plane_light_scene(light_intensity=(5.0, 5.0, 5.0, 0.0)) -> SceneData:
     """Minimal scene: one diffuse floor + one overhead light quad.
 

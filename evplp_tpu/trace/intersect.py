@@ -95,6 +95,18 @@ def _ray_tri(o, d, v0, e1, e2):
     return t, u, v, ok
 
 
+def _use_packet(tris: Triangles) -> bool:
+    """Large-scene strategy selection (trace-time static): the Pallas packet
+    kernel on TPU-like backends (needs the whole scene in VMEM, ~200k tris),
+    vmapped while_loop traversal elsewhere (CPU tests, giant scenes)."""
+    if tris.v0.shape[0] > 200_000:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _slab_test(o, inv_d, nmin, nmax, t_max):
     """Ray/AABB slab test; robust to inf*0 via explicit min/max order."""
     t0 = (nmin - o) * inv_d
@@ -280,6 +292,11 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
     if tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         t, prim, u, v = _closest_brute_chunked(tris, o, d, t_min, t_max)
         return Hit(t=t, prim=prim, u=u, v=v)
+    if _use_packet(tris):
+        from evplp_tpu.trace.packet import packet_trace
+        t, prim, u, v = packet_trace(tris, bvh, o, d, t_min, t_max,
+                                     any_hit=False)
+        return Hit(t=t, prim=prim, u=u, v=v)
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, False, leaf_size)
     )
@@ -296,6 +313,11 @@ def intersect_any(tris: Triangles, bvh: BVH, o, d,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     if tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         return _any_brute_chunked(tris, o, d, t_min, t_max)
+    if _use_packet(tris):
+        from evplp_tpu.trace.packet import packet_trace
+        _, prim, _, _ = packet_trace(tris, bvh, o, d, t_min, t_max,
+                                     any_hit=True)
+        return prim >= 0
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, True, leaf_size)
     )

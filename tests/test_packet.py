@@ -1,0 +1,63 @@
+"""Pallas packet traversal (interpret mode on CPU) vs pure-JAX traversal."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evplp_tpu.accel.bvh import build_bvh
+from evplp_tpu.trace import packet
+from evplp_tpu.trace.intersect import Triangles, intersect_closest_brute
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    packet.set_interpret(True)
+    yield
+    packet.set_interpret(False)
+
+
+def _scene(n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.25, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.25, (n, 3)).astype(np.float32)
+    v0, v1, v2 = base, base + e1, base + e2
+    bvh, perm = build_bvh(v0, v1, v2)
+    v0, v1, v2 = v0[perm], v1[perm], v2[perm]
+    e1, e2 = v1 - v0, v2 - v0
+    nrm = np.cross(e1, e2)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    tris = Triangles(v0=jnp.asarray(v0), e1=jnp.asarray(e1),
+                     e2=jnp.asarray(e2), n=jnp.asarray(nrm.astype(np.float32)))
+    return tris, bvh
+
+
+def _rays(r=300, seed=1):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-2, 2, (r, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(0, 1, (r, 3)).astype(np.float32))
+    return o, d
+
+
+def test_packet_closest_matches_oracle():
+    tris, bvh = _scene()
+    o, d = _rays()
+    t, prim, u, v = packet.packet_trace(tris, bvh, o, d, 1e-4, 3e38,
+                                        any_hit=False)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+    m = np.asarray(prim >= 0)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(prim)[m], np.asarray(ref.prim)[m])
+
+
+def test_packet_any_matches_oracle():
+    tris, bvh = _scene(n=150, seed=5)
+    o, d = _rays(r=257, seed=6)
+    _, prim, _, _ = packet.packet_trace(tris, bvh, o, d, 1e-3, 2.0,
+                                        any_hit=True)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
