@@ -101,22 +101,10 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
     position = pos0
     active = jnp.ones((p,), bool)
 
-    # record buffers
-    def zeros(shape):
-        return jnp.zeros(shape, jnp.float32)
-
-    rec_pos = [pos0]
-    rec_normal = [n0]
-    rec_flux = [flux0]
-    rec_flux_dir = [n0]
-    rec_kd = [zeros((p, 3))]
-    rec_ks = [jnp.ones((p, 3))]
-    rec_ns = [jnp.full((p,), exp)]
-    rec_psel = [zeros((p,))]
-    rec_flags = [jnp.full((p,), FLAG_VPL, jnp.int32)]
-
-    # ---- bounces ----
-    for b in range(1, num_records):
+    # ---- bounces as a lax.scan over the vertex index ----
+    # (the body compiles once; an unrolled loop multiplied compile time)
+    def bounce_body(carry, b):
+        position, direction, flux, active = carry
         kb = jax.random.fold_in(key, b)
         k_sel, k_lobe, k_rr = jax.random.split(kb, 3)
         last = b == num_records - 1
@@ -140,7 +128,7 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
         u_sel = uniform_not_one(jax.random.uniform(k_sel, (p,)))
         chose_l = u_sel < p_l
 
-        base_flag = FLAG_PHOTON if last else (FLAG_VPL | FLAG_PHOTON)
+        base_flag = jnp.where(last, FLAG_PHOTON, FLAG_VPL | FLAG_PHOTON)
 
         # RR on the arriving flux (lighttracing.cu:164-167)
         russian = brdf.russian_prob_light(flux)
@@ -156,37 +144,46 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
         ).astype(jnp.int32)
 
         okc = ok[:, None]
-        rec_pos.append(jnp.where(okc, next_pos, 0.0))
-        rec_normal.append(jnp.where(okc, geom_n, 0.0))
-        rec_flux.append(jnp.where(okc, flux, 0.0))
-        rec_flux_dir.append(jnp.where(okc, -direction, 0.0))
-        rec_kd.append(jnp.where(okc, kd, 0.0))
-        rec_ks.append(jnp.where(okc, ks, 0.0))
-        rec_ns.append(jnp.where(ok, ns, 0.0))
-        rec_psel.append(jnp.where(ok, p_l, 0.0))
-        rec_flags.append(flags)
-
-        if last:
-            break
+        record = dict(
+            pos=jnp.where(okc, next_pos, 0.0),
+            normal=jnp.where(okc, geom_n, 0.0),
+            flux=jnp.where(okc, flux, 0.0),
+            flux_dir=jnp.where(okc, -direction, 0.0),
+            kd=jnp.where(okc, kd, 0.0),
+            ks=jnp.where(okc, ks, 0.0),
+            ns=jnp.where(ok, ns, 0.0),
+            p_select=jnp.where(ok, p_l, 0.0),
+            flags=flags,
+        )
 
         flux_rr = flux / jnp.maximum(russian, 1e-8)[:, None]
         u_lobe = jax.random.uniform(k_lobe, (p, 2))
         new_dir, _, lobe_w, _ = brdf.sample_combined(
             u_sel, u_lobe, -direction, geom_n, geom_n, kd, ks, ns)
 
-        active = ok & survive
-        flux = jnp.where(active[:, None], flux_rr * lobe_w, flux)
-        direction = jnp.where(active[:, None], new_dir, direction)
-        position = jnp.where(active[:, None], next_pos, position)
+        new_active = ok & survive & ~last
+        flux = jnp.where(new_active[:, None], flux_rr * lobe_w, flux)
+        direction = jnp.where(new_active[:, None], new_dir, direction)
+        position = jnp.where(new_active[:, None], next_pos, position)
+        return (position, direction, flux, new_active), record
+
+    _, recs = jax.lax.scan(
+        bounce_body, (position, direction, flux, active),
+        jnp.arange(1, num_records, dtype=jnp.int32))
+
+    def with_v0(first, rest):
+        # recs fields are (B-1, P, ...) -> (P, B, ...)
+        return jnp.concatenate([first[:, None], jnp.moveaxis(rest, 0, 1)],
+                               axis=1)
 
     return PhotonMap(
-        pos=jnp.stack(rec_pos, axis=1),
-        normal=jnp.stack(rec_normal, axis=1),
-        flux=jnp.stack(rec_flux, axis=1),
-        flux_dir=jnp.stack(rec_flux_dir, axis=1),
-        kd=jnp.stack(rec_kd, axis=1),
-        ks=jnp.stack(rec_ks, axis=1),
-        ns=jnp.stack(rec_ns, axis=1),
-        p_select=jnp.stack(rec_psel, axis=1),
-        flags=jnp.stack(rec_flags, axis=1),
+        pos=with_v0(pos0, recs["pos"]),
+        normal=with_v0(n0, recs["normal"]),
+        flux=with_v0(flux0, recs["flux"]),
+        flux_dir=with_v0(n0, recs["flux_dir"]),
+        kd=with_v0(jnp.zeros((p, 3)), recs["kd"]),
+        ks=with_v0(jnp.ones((p, 3)), recs["ks"]),
+        ns=with_v0(jnp.full((p,), exp), recs["ns"]),
+        p_select=with_v0(jnp.zeros((p,)), recs["p_select"]),
+        flags=with_v0(jnp.full((p,), FLAG_VPL, jnp.int32), recs["flags"]),
     )

@@ -107,7 +107,10 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
     prev_position = position
 
     # ---- bounce loop (pathtracing.cu:333-344 + closest hit 112-228) ----
-    for bounce in range(num_bounces):
+    # lax.scan over the bounce index: the body compiles once regardless of
+    # num_bounces (an unrolled loop compiled ~3x slower for no gain)
+    def bounce_body(carry, bounce):
+        result, prev_position, direction, brdf_pdf_w, attenuation, active = carry
         kb = jax.random.fold_in(key, 1 + bounce)
         k_sel, k_nee, k_lobe, k_rr = jax.random.split(kb, 4)
         last = bounce == num_bounces - 1
@@ -131,25 +134,23 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         w_emit = mu.balance_heuristic(brdf_pdf_w * pdf_w2a, light_pdf_a(scene.light))
         emission = (w_emit * _emit_profile(geom_n, to_prev, scene.light.intensity[3]))[:, None] \
             * attenuation * scene.light.intensity[None, :3]
-        result += jnp.where(is_light[:, None], emission, 0.0)
+        result = result + jnp.where(is_light[:, None], emission, 0.0)
 
         surface = hit_ok & ~is_light
         kd = fetch_kd(scene, prim, hit.u, hit.v)
         ks = scene.tri_ks[prim]
         ns = scene.tri_ns[prim]
         black = brdf.is_black(kd, ks)
-        surface = surface & ~black
-
-        if last:
-            active = jnp.zeros_like(active)
-            break
+        # the last bounce collects emission only (no NEE, no continuation:
+        # prd.done is set before the last rtTrace in the reference)
+        surface = surface & ~black & ~last
 
         inc = to_prev
         p_l = brdf.p_select_lambert(kd, ks)
         u_sel = uniform_not_one(jax.random.uniform(k_sel, (n,)))
         chose_l = u_sel < p_l
 
-        result += jnp.where(
+        result = result + jnp.where(
             surface[:, None],
             _nee(scene, k_nee, next_position, geom_n, inc, kd, ks, ns,
                  attenuation, chose_l, p_l, shadow_eps=1e-5),
@@ -173,5 +174,10 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
             attenuation,
         )
         prev_position = jnp.where(active[:, None], next_position, prev_position)
+        return (result, prev_position, direction, brdf_pdf_w, attenuation,
+                active), None
 
+    carry = (result, prev_position, direction, brdf_pdf_w, attenuation, active)
+    (result, *_), _ = jax.lax.scan(
+        bounce_body, carry, jnp.arange(num_bounces, dtype=jnp.int32))
     return result
