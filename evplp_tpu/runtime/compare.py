@@ -71,6 +71,14 @@ def run_technique(scene, res: int, time_ms: float, name: str,
     vsl0 = max(scene.bounding_radius * vsl_pct, 0.008) if force_vsl else 0.0
     sched = ProgressiveSchedule(radius0, 1.0 / scene.total_area, 0.7,
                                 num_vpl, num_light_paths, vsl0)
+    # warm-up frame: JIT compile is the analogue of the reference's setup()
+    # PTX compile, which its timeLimitMs clock also excludes
+    warm = photon_fam_frame(
+        scene, cfg, init_state(cfg), iteration_key(0, 0),
+        jnp.float32(sched.radius), jnp.float32(sched.clamp),
+        jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius))
+    jax.block_until_ready(warm.vpl_acc)
+
     state = init_state(cfg)
     iters = 0
     t0 = time.perf_counter()
@@ -102,6 +110,9 @@ def run_pt_equal_time(scene, res: int, time_ms: float, num_bounces: int = 3):
         gbuf = trace_gbuffer(scene, res, res, jitter)
         return acc + render_pt_frame(scene, gbuf, key, num_bounces), \
             light_image(scene, gbuf)
+
+    warm, _ = frame(jnp.zeros((n, 3), jnp.float32), iteration_key(7, 0))
+    jax.block_until_ready(warm)
 
     acc = jnp.zeros((n, 3), jnp.float32)
     light = None
