@@ -31,8 +31,11 @@ BIG = jnp.float32(3.4e38)
 # orders of magnitude faster on TPU than per-lane while_loop traversal.
 # Triangles are processed in chunks to bound memory.
 BRUTE_FORCE_MAX_TRIS = 2048
-BRUTE_CHUNK = 128
-BRUTE_RAY_BLOCK = 262144  # rays per scan step: bounds (rays x tris) temps
+# Dense-test orientation: triangles on SUBLANES (granularity 8 — a 62-tri
+# scene pads to 64, not to a 128-lane row), rays on LANES.  Work arrays are
+# (tri_chunk, ray_block).
+BRUTE_TRI_CHUNK = 128     # max sublane extent per step
+BRUTE_RAY_BLOCK = 65536   # lanes per scan step: bounds (tris x rays) temps
 
 
 @dataclass(frozen=True)
@@ -162,11 +165,13 @@ def _traverse_one(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
 
 
 def _ray_tri_components(o, d, v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
-    """Moller-Trumbore expanded to scalar components: rays (R, 3) against a
-    triangle chunk (C,), producing only (R, C) temporaries so XLA fuses the
-    whole test into one VPU pass (jnp.cross on (R, C, 3) blows HBM)."""
-    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    """Moller-Trumbore expanded to scalar components.
+
+    Triangle components are (C, 1) columns (sublanes), ray components (1, R)
+    rows (lanes): every temporary is a fused (C, R) VPU tile; jnp.cross on
+    stacked 3-vectors would materialize (C, R, 3) and blow HBM."""
+    ox, oy, oz = o[0][None, :], o[1][None, :], o[2][None, :]
+    dx, dy, dz = d[0][None, :], d[1][None, :], d[2][None, :]
 
     # pvec = d x e2
     px = dy * e2z - dz * e2y
@@ -192,56 +197,66 @@ def _ray_tri_components(o, d, v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
 
 
 def _tri_chunks(tris: Triangles):
+    """Triangle component columns, chunked along sublanes.
+
+    Chunk extent = min(BRUTE_TRI_CHUNK, T rounded up to 8): a 62-triangle
+    scene becomes ONE 64-row chunk (3% pad) instead of a 128-lane row
+    (106% pad)."""
     num_tris = tris.v0.shape[0]
-    pad = (-num_tris) % BRUTE_CHUNK
+    chunk = min(BRUTE_TRI_CHUNK, -(-num_tris // 8) * 8)
+    pad = (-num_tris) % chunk
     comps = []
     for arr in (tris.v0, tris.e1, tris.e2):
         a = jnp.pad(arr, ((0, pad), (0, 0)))
-        n_chunks = a.shape[0] // BRUTE_CHUNK
+        n_chunks = a.shape[0] // chunk
         for c in range(3):
-            comps.append(a[:, c].reshape(n_chunks, 1, BRUTE_CHUNK))
-    return comps, num_tris
+            comps.append(a[:, c].reshape(n_chunks, chunk, 1))
+    return comps, num_tris, chunk
 
 
 def _ray_blocks(o, d, t_min, t_max):
     r = o.shape[0]
-    block = min(BRUTE_RAY_BLOCK, r)
+    block = min(BRUTE_RAY_BLOCK, -(-r // 128) * 128)
     pad = (-r) % block
     o = jnp.pad(o, ((0, pad), (0, 0)))
     d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     t_min = jnp.pad(t_min, (0, pad))
     t_max = jnp.pad(t_max, (0, pad))
     nb = (r + pad) // block
-    return (o.reshape(nb, block, 3), d.reshape(nb, block, 3),
-            t_min.reshape(nb, block), t_max.reshape(nb, block), r, block)
+    comps = [o.reshape(nb, block, 3)[:, :, c] for c in range(3)]
+    comps += [d.reshape(nb, block, 3)[:, :, c] for c in range(3)]
+    return (comps, t_min.reshape(nb, block), t_max.reshape(nb, block),
+            r, block)
 
 
 def _closest_brute_chunked(tris: Triangles, o, d, t_min, t_max):
     """Dense closest hit: scan over ray blocks x triangle chunks.
     The hot path for small scenes; pure fused VPU math."""
-    comps, num_tris = _tri_chunks(tris)
-    ob, db, tminb, tmaxb, r, block = _ray_blocks(o, d, t_min, t_max)
-    tri_local = jnp.arange(BRUTE_CHUNK, dtype=jnp.int32)[None, :]
-    rows = jnp.arange(block)
+    comps, num_tris, chunk = _tri_chunks(tris)
+    rcomp, tminb, tmaxb, r, block = _ray_blocks(o, d, t_min, t_max)
+    tri_local = jnp.arange(chunk, dtype=jnp.int32)[:, None]
 
     def ray_step(_, xs):
-        o_, d_, tmin_, tmax_ = xs
+        ox, oy, oz, dx, dy, dz, tmin_, tmax_ = xs
+        o_ = (ox, oy, oz)
+        d_ = (dx, dy, dz)
 
         def tri_step(carry, cxs):
             best_t, best_prim, best_u, best_v, base = carry
             t, u, v, ok = _ray_tri_components(o_, d_, *cxs)
-            ok = ok & (t > tmin_[:, None]) & (t < tmax_[:, None]) \
+            ok = ok & (t > tmin_[None, :]) & (t < tmax_[None, :]) \
                 & ((base + tri_local) < num_tris)
             t = jnp.where(ok, t, BIG)
-            j = jnp.argmin(t, axis=1)
-            cand_t = t[rows, j]
+            j = jnp.argmin(t, axis=0)                      # over tris
+            cols = jnp.arange(block)
+            cand_t = t[j, cols]
             better = cand_t < best_t
             return (
                 jnp.where(better, cand_t, best_t),
                 jnp.where(better, base + j.astype(jnp.int32), best_prim),
-                jnp.where(better, u[rows, j], best_u),
-                jnp.where(better, v[rows, j], best_v),
-                base + BRUTE_CHUNK,
+                jnp.where(better, u[j, cols], best_u),
+                jnp.where(better, v[j, cols], best_v),
+                base + chunk,
             ), None
 
         init = (jnp.full((block,), BIG), jnp.full((block,), -1, jnp.int32),
@@ -250,31 +265,33 @@ def _closest_brute_chunked(tris: Triangles, o, d, t_min, t_max):
         hit = prim >= 0
         return None, (jnp.where(hit, t, tmax_), prim, u, v)
 
-    _, (t, prim, u, v) = jax.lax.scan(ray_step, None, (ob, db, tminb, tmaxb))
+    _, (t, prim, u, v) = jax.lax.scan(ray_step, None, (*rcomp, tminb, tmaxb))
     return (t.reshape(-1)[:r], prim.reshape(-1)[:r],
             u.reshape(-1)[:r], v.reshape(-1)[:r])
 
 
 def _any_brute_chunked(tris: Triangles, o, d, t_min, t_max):
-    comps, num_tris = _tri_chunks(tris)
-    ob, db, tminb, tmaxb, r, block = _ray_blocks(o, d, t_min, t_max)
-    tri_local = jnp.arange(BRUTE_CHUNK, dtype=jnp.int32)[None, :]
+    comps, num_tris, chunk = _tri_chunks(tris)
+    rcomp, tminb, tmaxb, r, block = _ray_blocks(o, d, t_min, t_max)
+    tri_local = jnp.arange(chunk, dtype=jnp.int32)[:, None]
 
     def ray_step(_, xs):
-        o_, d_, tmin_, tmax_ = xs
+        ox, oy, oz, dx, dy, dz, tmin_, tmax_ = xs
+        o_ = (ox, oy, oz)
+        d_ = (dx, dy, dz)
 
         def tri_step(carry, cxs):
             occ, base = carry
             t, _, _, ok = _ray_tri_components(o_, d_, *cxs)
-            ok = ok & (t > tmin_[:, None]) & (t < tmax_[:, None]) \
+            ok = ok & (t > tmin_[None, :]) & (t < tmax_[None, :]) \
                 & ((base + tri_local) < num_tris)
-            return (occ | jnp.any(ok, axis=1), base + BRUTE_CHUNK), None
+            return (occ | jnp.any(ok, axis=0), base + chunk), None
 
         (occ, _), _ = jax.lax.scan(
             tri_step, (jnp.zeros((block,), bool), jnp.int32(0)), comps)
         return None, occ
 
-    _, occ = jax.lax.scan(ray_step, None, (ob, db, tminb, tmaxb))
+    _, occ = jax.lax.scan(ray_step, None, (*rcomp, tminb, tmaxb))
     return occ.reshape(-1)[:r]
 
 
