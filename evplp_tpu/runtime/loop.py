@@ -269,6 +269,14 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
             break
         acc, light = frame(acc, light, iteration_key(0, iters + p.rng_offset))
         iters += 1
+        if p.write_every_frame and p.output_filename:
+            param = 1.0 / iters if accumulate else 1.0
+            snap = film.composite(acc, jnp.zeros_like(acc), light,
+                                  vpl_scale=param, photon_scale=0.0)
+            path = _out_path(p.output_filename, output_dir)
+            stem, ext = os.path.splitext(path)
+            im.save(f"{stem}_{iters}{ext}",
+                    film.to_image(snap, job.width, job.height))
         if p.time_limit_ms > 0:
             jax.block_until_ready(acc)
             if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:

@@ -84,3 +84,28 @@ class Camera:
         d = mu.normalize(d)
         o = jnp.broadcast_to(origin, d.shape)
         return o, d
+
+
+@dataclass(frozen=True)
+class AnimationCamera:
+    """Linear camera interpolation (reference: RtAnimationCamera,
+    rtcommon.h:600-629 — present in the reference but unused by main).
+
+    at(time_ms) returns a Camera lerped between start and end."""
+    start: Camera
+    end: Camera
+    total_time_ms: float
+
+    def at(self, time_ms: float) -> Camera:
+        s = min(max(time_ms / self.total_time_ms, 0.0), 1.0)
+
+        def lerp(a, b):
+            return tuple(av * (1 - s) + bv * s for av, bv in zip(a, b))
+
+        return Camera(
+            origin=lerp(self.start.origin, self.end.origin),
+            look_at=lerp(self.start.look_at, self.end.look_at),
+            up=lerp(self.start.up, self.end.up),
+            fovy=self.start.fovy * (1 - s) + self.end.fovy * s,
+            aspect=self.start.aspect,
+        )
