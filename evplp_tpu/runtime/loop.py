@@ -86,12 +86,16 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
                    checkpoint_path: str | None = None,
                    checkpoint_every: int | None = None,
                    resume_from: str | None = None,
-                   profile: bool | None = None) -> RunResult:
+                   profile: bool | None = None,
+                   mesh=None) -> RunResult:
     """Full photonfam / lvcphotonfam run following the reference driver.
 
     checkpoint_path/_every + resume_from: progressive-state checkpointing
     (runtime.checkpoint) — an addition over the reference, which has none.
     profile: per-pass device timing into RunResult.stats["passes"].
+    mesh: optional jax.sharding.Mesh — runs the frame pixel-sharded with
+    ring-rotated light blocks (parallel/shard.py). VSL/LVC variants are
+    single-device only for now.
     """
     from evplp_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
     from evplp_tpu.runtime.profiling import PassTimer
@@ -131,6 +135,14 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         splat_tile=splat_tile, splat_cap=splat_cap, splat_span=splat_span,
     )
 
+    if mesh is not None:
+        from evplp_tpu.parallel.shard import (
+            shard_state, sharded_photon_fam_frame)
+        if p.force_vsl or cfg.lvc:
+            raise NotImplementedError(
+                "sharded runs support the VPL+photon EVPLP family; "
+                "VSL/LVC run single-device")
+
     state = init_state(cfg)
     iters = 0
     if resume_from:
@@ -140,6 +152,8 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         sched.clamp_start = fields["clamp_start"]
         sched.vsl_radius = fields["vsl_radius"]
         sched.pdf_mc = fields["pdf_mc"]
+    if mesh is not None:
+        state = shard_state(state, mesh)
     t0 = time.perf_counter()
     prev_ms = 0.0
 
@@ -150,11 +164,16 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         if iters == p.num_max_iteration:
             break
         key = iteration_key(0, iters + p.rng_offset)
-        state = photon_fam_frame(
-            scene, cfg, state, key,
-            jnp.float32(sched.radius), jnp.float32(sched.clamp),
-            jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius),
-            timer=timer)
+        if mesh is not None:
+            state = sharded_photon_fam_frame(
+                scene, cfg, mesh, state, key,
+                sched.radius, sched.clamp, sched.pdf_mc)
+        else:
+            state = photon_fam_frame(
+                scene, cfg, state, key,
+                jnp.float32(sched.radius), jnp.float32(sched.clamp),
+                jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius),
+                timer=timer)
         iters += 1
 
         if iters % progress_every == 0:
