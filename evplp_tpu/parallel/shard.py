@@ -59,9 +59,13 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
     """
     n = mesh.devices.size
     rows = _local_rows(cfg.height, n)
+    assert cfg.num_light_paths % n == 0, \
+        f"numLightPaths {cfg.num_light_paths} must divide device count {n}"
     paths_blk = cfg.num_light_paths // n
-    vpl_blk = max(cfg.num_vpl_light_paths // n, 1) \
-        if cfg.num_vpl_light_paths else 0
+    if cfg.num_vpl_light_paths:
+        assert cfg.num_vpl_light_paths % n == 0, \
+            f"numVplLightPaths {cfg.num_vpl_light_paths} must divide {n}"
+    vpl_blk = cfg.num_vpl_light_paths // n
 
     def frame(state, key, radius, clamping_value, pdf_mc):
         d = jax.lax.axis_index(AXIS)

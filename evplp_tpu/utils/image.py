@@ -192,16 +192,26 @@ def rel_mse(img: np.ndarray, ref: np.ndarray, mask: np.ndarray | None = None) ->
     return float(per_px.mean())
 
 
+def _hsl_to_rgb_vec(h: np.ndarray, lightness: float, s: float) -> np.ndarray:
+    """Vectorized HLS->RGB (matches colorsys.hls_to_rgb semantics)."""
+    c = (1.0 - abs(2.0 * lightness - 1.0)) * s
+    hp = h * 6.0
+    x = c * (1.0 - np.abs(np.mod(hp, 2.0) - 1.0))
+    z = np.zeros_like(h)
+    conds = [(hp < 1)[..., None], (hp < 2)[..., None], (hp < 3)[..., None],
+             (hp < 4)[..., None], (hp < 5)[..., None], (hp >= 5)[..., None]]
+    rgb = np.select(conds, [np.stack(np.broadcast_arrays(*v), -1) for v in
+                            [(c, x, z), (x, c, z), (z, c, x),
+                             (z, x, c), (x, z, c), (c, z, x)]])
+    return (rgb + (lightness - c / 2.0)).astype(np.float32)
+
+
 def error_heat_image(img: np.ndarray, ref: np.ndarray, scale: float = 1.0) -> np.ndarray:
     """HSL error ramp (blue->red) like floatimage.cpp:21-62."""
     diff = np.asarray(img, np.float64) - np.asarray(ref, np.float64)
     err = np.clip((diff * diff).sum(axis=-1) * scale, 0.0, 1.0)
     hue = (1.0 - err) * (240.0 / 360.0)
-    out = np.zeros(img.shape, dtype=np.float32)
-    for y in range(out.shape[0]):
-        for x in range(out.shape[1]):
-            out[y, x] = colorsys.hls_to_rgb(hue[y, x], 0.5, 1.0)
-    return out
+    return _hsl_to_rgb_vec(hue, 0.5, 1.0)
 
 
 # ---------------------------------------------------------------------------
