@@ -31,6 +31,7 @@ from evplp_tpu.integrators.photon_fam import FrameState, PhotonFamConfig
 from evplp_tpu.integrators.photon_splat import photon_splat_tiled
 from evplp_tpu.integrators.pt import render_pt_frame
 from evplp_tpu.integrators.vpl import vpl_gather
+from evplp_tpu.integrators.vsl import vsl_gather
 from evplp_tpu.scene.scene import SceneData
 
 AXIS = "px"
@@ -50,7 +51,8 @@ def _local_rows(height: int, n: int):
 
 def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
                              mesh: Mesh, state: FrameState, key,
-                             radius, clamping_value, pdf_mc):
+                             radius, clamping_value, pdf_mc,
+                             vsl_radius=0.0):
     """One EVPLP frame over the mesh. state buffers are sharded on rows.
 
     cfg.num_light_paths / num_vpl_light_paths are GLOBAL counts; each device
@@ -67,7 +69,7 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
             f"numVplLightPaths {cfg.num_vpl_light_paths} must divide {n}"
     vpl_blk = cfg.num_vpl_light_paths // n
 
-    def frame(state, key, radius, clamping_value, pdf_mc):
+    def frame(state, key, radius, clamping_value, pdf_mc, vsl_radius):
         d = jax.lax.axis_index(AXIS)
 
         if cfg.use_jitter:
@@ -92,9 +94,16 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
         block = pm
         for step in range(n):
             if cfg.do_vpl and vpl_blk:
-                vpl_img = vpl_img + vpl_gather(
-                    scene, gbuf, block, cfg.mis_mode, pdf_mc,
-                    clamping_value, vpl_blk) * (vpl_blk / cfg.num_vpl_light_paths)
+                if cfg.force_vsl:
+                    img = vsl_gather(
+                        scene, gbuf, block,
+                        jax.random.fold_in(jax.random.fold_in(key, 2), step),
+                        vsl_radius, vpl_blk)
+                else:
+                    img = vpl_gather(
+                        scene, gbuf, block, cfg.mis_mode, pdf_mc,
+                        clamping_value, vpl_blk)
+                vpl_img = vpl_img + img * (vpl_blk / cfg.num_vpl_light_paths)
             if cfg.do_photon:
                 img, drop = photon_splat_tiled(
                     scene, gbuf, block, radius, cfg.mis_mode, pdf_mc,
@@ -125,12 +134,12 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
     fn = jax.jit(
         jax.shard_map(
             frame, mesh=mesh,
-            in_specs=(state_spec, P(), P(), P(), P()),
+            in_specs=(state_spec, P(), P(), P(), P(), P()),
             out_specs=state_spec,
             check_vma=False,
         ))
     return fn(state, key, jnp.float32(radius), jnp.float32(clamping_value),
-              jnp.float32(pdf_mc))
+              jnp.float32(pdf_mc), jnp.float32(vsl_radius))
 
 
 def sharded_pt_frame(scene: SceneData, mesh: Mesh, width: int, height: int,

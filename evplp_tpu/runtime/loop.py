@@ -138,10 +138,10 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
     if mesh is not None:
         from evplp_tpu.parallel.shard import (
             shard_state, sharded_photon_fam_frame)
-        if p.force_vsl or cfg.lvc:
+        if cfg.lvc:
             raise NotImplementedError(
-                "sharded runs support the VPL+photon EVPLP family; "
-                "VSL/LVC run single-device")
+                "lvcphotonfam runs single-device (per-pixel random path "
+                "selection reads the whole pool)")
 
     state = init_state(cfg)
     iters = 0
@@ -167,7 +167,7 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         if mesh is not None:
             state = sharded_photon_fam_frame(
                 scene, cfg, mesh, state, key,
-                sched.radius, sched.clamp, sched.pdf_mc)
+                sched.radius, sched.clamp, sched.pdf_mc, sched.vsl_radius)
         else:
             state = photon_fam_frame(
                 scene, cfg, state, key,

@@ -28,3 +28,20 @@ def test_driver_sharded_run(tmp_path):
     img = res.images["combined"]
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all() and (img >= 0).all() and img.max() > 0
+
+
+def test_driver_sharded_vsl(tmp_path):
+    block = dict(
+        rngOffset=0, numMaxIteration=1, timeLimitMs=-1.0,
+        frameMode="accumulate", useJitter=False, useStat=False,
+        statFilename="", numLightPaths=16, numVplLightPaths=8,
+        numMaxBounces=1, radiusPercentage=0.05,
+        forceVsl=True, vslRadiusPercentage=0.05,
+        run={"photonSplat": False},
+        combinedFilename="", weightedPhotonFilename="", weightedVplFilename="",
+    )
+    path = write_cornell_config(str(tmp_path), block, "photonfam",
+                                res=16, name="mcvsl")
+    res = run_photon_fam(load_config(path), mesh=make_mesh(8))
+    img = res.images["combined"]
+    assert np.isfinite(img).all() and (img >= 0).all() and img.max() > 0
