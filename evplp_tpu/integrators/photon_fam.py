@@ -45,9 +45,9 @@ class PhotonFamConfig:
     do_light_render: bool = True
     force_vsl: bool = False
     lvc: bool = False
-    splat_tile: int = 8
-    splat_cap: int = 128
-    splat_span: int = 4
+    splat_tile: int = 16
+    splat_cap: int = 384
+    splat_span: int = 2
 
 
 @dataclass(frozen=True)
