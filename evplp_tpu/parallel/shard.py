@@ -19,7 +19,6 @@ shard-invariance tests.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ default small-scene dispatch stays on the VPU path (trace/intersect.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,7 @@ row-flipped binary reader/writer (floatimage.cpp:145-199).
 """
 from __future__ import annotations
 
-import colorsys
 import os
-import struct
 
 import numpy as np
 

@@ -127,3 +127,28 @@ def test_evplp_compensation_identity():
     np.testing.assert_allclose(comp[c], full[c], rtol=0.25)
     # and the clamped part alone must be strictly below the full estimate
     assert (np.asarray(clamped / frames)[c] <= full[c] + 1e-6).all()
+
+
+def test_balance_mis_combination_is_complete():
+    """Balance-mode VPL + balance-mode photon splat ~= unclamped VPL:
+    the two estimators' MIS weights are complementary (balance(pdfMc,pdfDe)
+    + balance(pdfDe,pdfMc) == 1), so their sum recovers full transport up
+    to KDE bias + MC noise."""
+    scene = plane_light_scene()
+    gbuf = trace_gbuffer(scene, RES, RES)
+    paths = 2048
+    nvpl = 256
+    radius = jnp.float32(0.35)
+    pdf_mc = jnp.float32((nvpl / paths) / np.pi / (0.35 ** 2))
+    frames = 6
+    full = jnp.zeros((RES * RES, 3))
+    comb = jnp.zeros((RES * RES, 3))
+    for i in range(frames):
+        pm = trace_light_paths(scene, iteration_key(4, i), paths, 4)
+        full += vpl_gather(scene, gbuf, pm, 0, pdf_mc, jnp.float32(0.0), nvpl)
+        comb += vpl_gather(scene, gbuf, pm, 1, pdf_mc, jnp.float32(0.0), nvpl)
+        comb += photon_splat_dense(scene, gbuf, pm, radius, 1, pdf_mc,
+                                   jnp.float32(0.0), jnp.float32(1.0 / paths))
+    c = _center()
+    np.testing.assert_allclose(np.asarray(comb / frames)[c],
+                               np.asarray(full / frames)[c], rtol=0.25)
