@@ -35,20 +35,35 @@ class BVH:
     node_skip: (N,) int32 — next node after this subtree (N = done).
     node_first: (N,) int32 — leaf: first triangle; internal: unused (-1).
     node_count: (N,) int32 — leaf: #triangles; internal: 0.
+
+    pk_*: VMEM-packed mirror for the Pallas packet kernel
+    (trace/packet2.py): 8 triangles per 128-lane row, meta
+    [count, leaf_row|_, right_child, 0], bounds (N, 8), slot->tri map.
+    Dummy 1-row arrays when the scene is below the packet threshold.
     """
     node_min: jnp.ndarray
     node_max: jnp.ndarray
     node_skip: jnp.ndarray
     node_first: jnp.ndarray
     node_count: jnp.ndarray
+    pk_tri_rows: jnp.ndarray   # (L, 128) f32
+    pk_meta: jnp.ndarray       # (N, 4) i32
+    pk_bounds: jnp.ndarray     # (N, 8) f32
+    pk_prim_map: jnp.ndarray   # (L*8,) i32
 
     @property
     def num_nodes(self) -> int:
         return self.node_min.shape[0]
 
+    @property
+    def has_packed(self) -> bool:
+        return self.pk_tri_rows.shape[0] > 1
+
     def tree_flatten(self):  # pragma: no cover
         return (self.node_min, self.node_max, self.node_skip,
-                self.node_first, self.node_count), None
+                self.node_first, self.node_count,
+                self.pk_tri_rows, self.pk_meta, self.pk_bounds,
+                self.pk_prim_map), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
@@ -134,17 +149,20 @@ def _build_topology(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 best = (cost[b], axis, thr)
 
         if best is None:
-            continue  # all centroids coincide: keep as (fat) leaf
-        _, axis, thr = best
-        mask = centroids[perm[lo:hi], axis] < thr
-        mid = lo + int(mask.sum())
-        if mid == lo or mid == hi:  # degenerate: median split
-            order = np.argsort(centroids[perm[lo:hi], axis], kind="stable")
-            perm[lo:hi] = perm[lo:hi][order]
+            # all centroids coincide: arbitrary index split (fat leaves are
+            # not allowed — the packet layout requires count <= leaf_size)
             mid = lo + n // 2
         else:
-            seg = perm[lo:hi]
-            perm[lo:hi] = np.concatenate([seg[mask], seg[~mask]])
+            _, axis, thr = best
+            mask = centroids[perm[lo:hi], axis] < thr
+            mid = lo + int(mask.sum())
+            if mid == lo or mid == hi:  # degenerate: median split
+                order = np.argsort(centroids[perm[lo:hi], axis], kind="stable")
+                perm[lo:hi] = perm[lo:hi][order]
+                mid = lo + n // 2
+            else:
+                seg = perm[lo:hi]
+                perm[lo:hi] = np.concatenate([seg[mask], seg[~mask]])
 
         left = new_node(lo, mid)
         right = new_node(mid, hi)
@@ -217,10 +235,57 @@ def _try_native_build(v0, v1, v2, leaf_size):
         return None
 
 
+def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p):
+    """Vectorized host packing for the Pallas packet kernel (packet2.py):
+    8 triangles per 128-lane row, leaf-major; returns the pk_* arrays."""
+    n = count.shape[0]
+    num_tris = v0p.shape[0]
+    assert count.max(initial=0) <= 8, \
+        "packet layout requires leaf_size <= 8"
+    leaf_nodes = np.nonzero(count > 0)[0]
+    l = max(len(leaf_nodes), 1)
+
+    leaf_row_of_node = np.zeros(n, np.int32)
+    leaf_row_of_node[leaf_nodes] = np.arange(len(leaf_nodes), dtype=np.int32)
+
+    starts = first[leaf_nodes].astype(np.int64)          # (L,)
+    counts = np.minimum(count[leaf_nodes], 8).astype(np.int64)
+    k = np.arange(8, dtype=np.int64)[None, :]
+    tri_idx = starts[:, None] + k                        # (L, 8)
+    valid = (k < counts[:, None]) & (tri_idx < num_tris)
+    tri_c = np.minimum(tri_idx, num_tris - 1)
+
+    e1p = v1p - v0p
+    e2p = v2p - v0p
+    rows = np.zeros((l, 8, 16), np.float32)
+    rows[: len(leaf_nodes), :, 0:3] = np.where(valid[..., None], v0p[tri_c], 0)
+    rows[: len(leaf_nodes), :, 3:6] = np.where(valid[..., None], e1p[tri_c], 0)
+    rows[: len(leaf_nodes), :, 6:9] = np.where(valid[..., None], e2p[tri_c], 0)
+    prim_map = np.where(valid, tri_c, -1).astype(np.int32).reshape(-1)
+    if len(leaf_nodes) == 0:
+        prim_map = np.full((l * 8,), -1, np.int32)
+
+    meta = np.zeros((n, 4), np.int32)
+    meta[:, 0] = np.minimum(count, 8)
+    meta[:, 1] = np.where(count > 0, leaf_row_of_node, 0)
+    internal = np.nonzero(count == 0)[0]
+    right = np.zeros(n, np.int32)
+    right[internal] = skip[np.minimum(internal + 1, n - 1)]
+    meta[:, 2] = right
+
+    bounds = np.zeros((n, 8), np.float32)
+    bounds[:, 0:3] = nmin
+    bounds[:, 3:6] = nmax
+    return rows.reshape(l, 128), meta, bounds, prim_map
+
+
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              leaf_size: int = LEAF_SIZE):
+              leaf_size: int = LEAF_SIZE, pack: bool | None = None):
     """Build and flatten. Returns (BVH, perm) — apply perm to all
-    per-triangle arrays before upload."""
+    per-triangle arrays before upload.
+
+    pack: include the packet-kernel layout (default: only for scenes above
+    the brute-force threshold, where the packet path is used)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -232,11 +297,25 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         nmin, nmax, children, first, count, perm = _build_topology(v0, v1, v2, leaf_size)
         nmin, nmax, skip, first, count = _flatten_dfs(nmin, nmax, children, first, count)
 
+    if pack is None:
+        from evplp_tpu.trace.intersect import BRUTE_FORCE_MAX_TRIS
+        pack = v0.shape[0] > BRUTE_FORCE_MAX_TRIS
+    if pack:
+        pk = _pack_for_packet(nmin, nmax, skip, first, count,
+                              v0[perm], v1[perm], v2[perm])
+    else:
+        pk = (np.zeros((1, 128), np.float32), np.zeros((1, 4), np.int32),
+              np.zeros((1, 8), np.float32), np.full((8,), -1, np.int32))
+
     bvh = BVH(
         node_min=jnp.asarray(nmin),
         node_max=jnp.asarray(nmax),
         node_skip=jnp.asarray(skip, dtype=jnp.int32),
         node_first=jnp.asarray(first, dtype=jnp.int32),
         node_count=jnp.asarray(count, dtype=jnp.int32),
+        pk_tri_rows=jnp.asarray(pk[0]),
+        pk_meta=jnp.asarray(pk[1]),
+        pk_bounds=jnp.asarray(pk[2]),
+        pk_prim_map=jnp.asarray(pk[3]),
     )
     return bvh, perm

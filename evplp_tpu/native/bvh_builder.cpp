@@ -126,21 +126,26 @@ struct Builder {
         }
       }
 
-      if (best_axis < 0) continue;  // coincident centroids: fat leaf
-
-      auto key = [&](int t) {
-        const Vec3& c = centroid[t];
-        return best_axis == 0 ? c.x : (best_axis == 1 ? c.y : c.z);
-      };
-      int* first = perm.data() + it.lo;
-      int* last = perm.data() + it.hi;
-      int* mid_ptr = std::partition(
-          first, last, [&](int t) { return key(t) < best_thr; });
-      int mid = it.lo + int(mid_ptr - first);
-      if (mid == it.lo || mid == it.hi) {  // degenerate: median split
-        std::nth_element(first, first + n / 2, last,
-                         [&](int a, int b) { return key(a) < key(b); });
+      int mid;
+      if (best_axis < 0) {
+        // coincident centroids: arbitrary index split (no fat leaves — the
+        // packet layout requires count <= leaf_size)
         mid = it.lo + n / 2;
+      } else {
+        auto key = [&](int t) {
+          const Vec3& c = centroid[t];
+          return best_axis == 0 ? c.x : (best_axis == 1 ? c.y : c.z);
+        };
+        int* first = perm.data() + it.lo;
+        int* last = perm.data() + it.hi;
+        int* mid_ptr = std::partition(
+            first, last, [&](int t) { return key(t) < best_thr; });
+        mid = it.lo + int(mid_ptr - first);
+        if (mid == it.lo || mid == it.hi) {  // degenerate: median split
+          std::nth_element(first, first + n / 2, last,
+                           [&](int a, int b) { return key(a) < key(b); });
+          mid = it.lo + n / 2;
+        }
       }
 
       int left = new_node(it.lo, mid);

@@ -98,11 +98,12 @@ def _ray_tri(o, d, v0, e1, e2):
     return t, u, v, ok
 
 
-def _use_packet(tris: Triangles) -> bool:
+def _use_packet(tris: Triangles, bvh) -> bool:
     """Large-scene strategy selection (trace-time static): the Pallas packet
-    kernel on TPU-like backends (needs the whole scene in VMEM, ~200k tris),
-    vmapped while_loop traversal elsewhere (CPU tests, giant scenes)."""
-    if tris.v0.shape[0] > 200_000:
+    kernel (packed VMEM layout, trace/packet2.py) on TPU-like backends when
+    the BVH carries the packed mirror (~200k tris fit), vmapped while_loop
+    traversal elsewhere (CPU tests, giant scenes)."""
+    if tris.v0.shape[0] > 200_000 or not bvh.has_packed:
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -309,10 +310,11 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
     if tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         t, prim, u, v = _closest_brute_chunked(tris, o, d, t_min, t_max)
         return Hit(t=t, prim=prim, u=u, v=v)
-    if _use_packet(tris):
-        from evplp_tpu.trace.packet import packet_trace
-        t, prim, u, v = packet_trace(tris, bvh, o, d, t_min, t_max,
-                                     any_hit=False)
+    if _use_packet(tris, bvh):
+        from evplp_tpu.trace.packet2 import packet2_trace
+        t, prim, u, v = packet2_trace(
+            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+            o, d, t_min, t_max, any_hit=False)
         return Hit(t=t, prim=prim, u=u, v=v)
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, False, leaf_size)
@@ -330,10 +332,11 @@ def intersect_any(tris: Triangles, bvh: BVH, o, d,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     if tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         return _any_brute_chunked(tris, o, d, t_min, t_max)
-    if _use_packet(tris):
-        from evplp_tpu.trace.packet import packet_trace
-        _, prim, _, _ = packet_trace(tris, bvh, o, d, t_min, t_max,
-                                     any_hit=True)
+    if _use_packet(tris, bvh):
+        from evplp_tpu.trace.packet2 import packet2_trace
+        _, prim, _, _ = packet2_trace(
+            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+            o, d, t_min, t_max, any_hit=True)
         return prim >= 0
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, True, leaf_size)

@@ -47,14 +47,22 @@ def test_native_structure():
             assert (nmax[i] >= nmax[j] - 1e-6).all()
 
 
+def _mk_bvh(nmin, nmax, skip, first, count):
+    import numpy as _np
+    return bvh_mod.BVH(
+        node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
+        node_skip=jnp.asarray(skip), node_first=jnp.asarray(first),
+        node_count=jnp.asarray(count),
+        pk_tri_rows=jnp.zeros((1, 128)), pk_meta=jnp.zeros((1, 4), jnp.int32),
+        pk_bounds=jnp.zeros((1, 8)),
+        pk_prim_map=jnp.full((8,), -1, jnp.int32))
+
+
 def test_native_traversal_matches_numpy_build():
     v0, v1, v2 = _random_tris(333, seed=3)
 
     nmin, nmax, skip, first, count, perm = bvh_native.build(v0, v1, v2, 8)
-    bvh_n = bvh_mod.BVH(
-        node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
-        node_skip=jnp.asarray(skip), node_first=jnp.asarray(first),
-        node_count=jnp.asarray(count))
+    bvh_n = _mk_bvh(nmin, nmax, skip, first, count)
 
     def tris_for(perm_):
         a, b, c = v0[perm_], v1[perm_], v2[perm_]
@@ -70,10 +78,7 @@ def test_native_traversal_matches_numpy_build():
     nmin2, nmax2, children, first2, count2, perm2 = bvh_py
     nmin2, nmax2, skip2, first2, count2 = bvh_mod._flatten_dfs(
         nmin2, nmax2, children, first2, count2)
-    bvh_p = bvh_mod.BVH(
-        node_min=jnp.asarray(nmin2), node_max=jnp.asarray(nmax2),
-        node_skip=jnp.asarray(skip2), node_first=jnp.asarray(first2),
-        node_count=jnp.asarray(count2))
+    bvh_p = _mk_bvh(nmin2, nmax2, skip2, first2, count2)
 
     rng = np.random.default_rng(7)
     o = jnp.asarray(rng.uniform(-2, 2, (256, 3)).astype(np.float32))

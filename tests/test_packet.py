@@ -1,19 +1,22 @@
-"""Pallas packet traversal (interpret mode on CPU) vs pure-JAX traversal."""
+"""Pallas packet traversal (interpret mode on CPU) vs oracles — both the
+v1 SoA kernel and the v2 VMEM-packed kernel (the dispatch default on TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from evplp_tpu.accel.bvh import build_bvh
-from evplp_tpu.trace import packet
+from evplp_tpu.trace import packet, packet2
 from evplp_tpu.trace.intersect import Triangles, intersect_closest_brute
 
 
 @pytest.fixture(autouse=True)
 def _interpret():
     packet.set_interpret(True)
+    packet2.set_interpret(True)
     yield
     packet.set_interpret(False)
+    packet2.set_interpret(False)
 
 
 def _scene(n=200, seed=0):
@@ -22,7 +25,7 @@ def _scene(n=200, seed=0):
     e1 = rng.normal(0, 0.25, (n, 3)).astype(np.float32)
     e2 = rng.normal(0, 0.25, (n, 3)).astype(np.float32)
     v0, v1, v2 = base, base + e1, base + e2
-    bvh, perm = build_bvh(v0, v1, v2)
+    bvh, perm = build_bvh(v0, v1, v2, pack=True)
     v0, v1, v2 = v0[perm], v1[perm], v2[perm]
     e1, e2 = v1 - v0, v2 - v0
     nrm = np.cross(e1, e2)
@@ -61,3 +64,42 @@ def test_packet_any_matches_oracle():
     ref = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
     np.testing.assert_array_equal(np.asarray(prim >= 0),
                                   np.asarray(ref.prim >= 0))
+
+
+def test_packet2_closest_matches_oracle():
+    tris, bvh = _scene(n=311, seed=2)
+    assert bvh.has_packed
+    o, d = _rays(r=300, seed=3)
+    t, prim, u, v = packet2.packet2_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, 1e-4, 3e38)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+    m = np.asarray(prim >= 0)
+    np.testing.assert_array_equal(np.asarray(prim)[m], np.asarray(ref.prim)[m])
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref.u)[m],
+                               atol=1e-4)
+
+
+def test_packet2_any_matches_oracle():
+    tris, bvh = _scene(n=150, seed=7)
+    o, d = _rays(r=257, seed=8)
+    _, prim, _, _ = packet2.packet2_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, 1e-3, 2.0, any_hit=True)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+
+
+def test_coincident_centroids_no_fat_leaves():
+    """Identical triangles (coincident centroids) must still split to
+    leaf_size (the packed layout cannot represent fat leaves)."""
+    v0 = np.zeros((50, 3), np.float32)
+    v1 = np.tile(np.asarray([[1, 0, 0]], np.float32), (50, 1))
+    v2 = np.tile(np.asarray([[0, 1, 0]], np.float32), (50, 1))
+    bvh, perm = build_bvh(v0, v1, v2, pack=True)
+    assert int(jnp.max(bvh.node_count)) <= 8
