@@ -96,6 +96,12 @@ def _kernel(any_hit: bool):
             def _():
                 row = mrow[1]
                 blk = tri_ref[row, :]         # (128,) = 8 packed triangles
+                # accumulate the leaf's best hit in registers; touch the
+                # output refs once per leaf instead of once per triangle
+                best_t = t_out[:]
+                best_p = prim_out[:]
+                best_u = u_out[:]
+                best_v = v_out[:]
                 for k in range(LEAF):         # static unroll, static extracts
                     b = k * SLOT
                     v0x_, v0y_, v0z_ = blk[b], blk[b + 1], blk[b + 2]
@@ -118,15 +124,19 @@ def _kernel(any_hit: bool):
                     tt = (e2x_ * qx + e2y_ * qy + e2z_ * qz) * inv_det
 
                     ok = ((jnp.abs(det) > TRI_EPS) & (uu >= 0.0) & (vv >= 0.0)
-                          & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_out[:])
+                          & (uu + vv <= 1.0) & (tt > tmin) & (tt < best_t)
                           & (k < count))
                     if any_hit:
-                        ok = ok & (prim_out[:] < 0)
+                        ok = ok & (best_p < 0)
                     slot_id = row * LEAF + k
-                    t_out[:] = jnp.where(ok, tt, t_out[:])
-                    prim_out[:] = jnp.where(ok, slot_id, prim_out[:])
-                    u_out[:] = jnp.where(ok, uu, u_out[:])
-                    v_out[:] = jnp.where(ok, vv, v_out[:])
+                    best_t = jnp.where(ok, tt, best_t)
+                    best_p = jnp.where(ok, slot_id, best_p)
+                    best_u = jnp.where(ok, uu, best_u)
+                    best_v = jnp.where(ok, vv, best_v)
+                t_out[:] = best_t
+                prim_out[:] = best_p
+                u_out[:] = best_u
+                v_out[:] = best_v
 
             push = node_wanted & jnp.logical_not(is_leaf)
 
