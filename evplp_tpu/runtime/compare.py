@@ -132,7 +132,7 @@ def run_pt_equal_time(scene, res: int, time_ms: float, num_bounces: int = 3):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="cornell",
-                    choices=("cornell", "boxfield"))
+                    choices=("cornell", "boxfield", "glossy"))
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--time-ms", type=float, default=15000.0)
     ap.add_argument("--ref-iterations", type=int, default=1024)
@@ -141,8 +141,9 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/evplp_jax_cache")
 
-    from evplp_tpu.scene.procedural import box_field, cornell_box
-    scene = cornell_box() if args.scene == "cornell" else box_field()
+    from evplp_tpu.scene.procedural import box_field, cornell_box, glossy_box
+    scene = {"cornell": cornell_box, "boxfield": box_field,
+             "glossy": glossy_box}[args.scene]()
 
     ref, mask, ref_ms = converged_pt(scene, args.res, args.ref_iterations)
     print(f"# reference: {args.ref_iterations} PT iterations "
@@ -152,12 +153,16 @@ def main(argv=None):
     techniques = {
         "ours": dict(num_light_paths=lp, num_vpl=30, mis_mode=1,
                      radius_pct=0.003),
+        "ours_clamped": dict(num_light_paths=lp, num_vpl=30, mis_mode=4,
+                             radius_pct=0.003),
         "ours_progressive": dict(num_light_paths=lp, num_vpl=30, mis_mode=1,
                                  radius_pct=0.003, progressive=True),
         "pm": dict(num_light_paths=lp, num_vpl=0, mis_mode=0,
                    radius_pct=0.003),
         "vpl": dict(num_light_paths=30, num_vpl=30, mis_mode=0,
                     radius_pct=0.0, do_photon=False),
+        "vpl_clamped_only": dict(num_light_paths=lp, num_vpl=30, mis_mode=4,
+                                 radius_pct=0.003, do_photon=False),
     }
     results = {}
     for name, kw in techniques.items():

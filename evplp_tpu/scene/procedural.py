@@ -105,6 +105,61 @@ def cornell_box(light_intensity=(12.0, 12.0, 12.0, 0.0),
     )
 
 
+def glossy_box(light_intensity=(200.0, 190.0, 160.0, 0.0),
+               floor_exponent: float = 80.0) -> SceneData:
+    """EVPLP stress scene: glossy floor + blocker + a SMALL bright light.
+
+    Unclamped VPL fireflies hard here (near-singular G terms under the
+    blocker and on the glossy floor); clamped VPL alone loses energy; the
+    photon-splat compensation restores it — the paper's core trade
+    (rtcomphoton.h misModes 4/5 + photonsplatinstanced.frag residuals).
+    """
+    meshes_pos, meshes_idx, kds, kss, nss = [], [], [], [], []
+
+    room_quads = [
+        (([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]),   # glossy floor
+         (0.05, 0.05, 0.05), (0.5, 0.5, 0.5), floor_exponent),
+        (([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]),
+         (0.73, 0.73, 0.73), (0, 0, 0), 0.0),
+        (([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]),
+         (0.73, 0.73, 0.73), (0, 0, 0), 0.0),
+        (([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]),
+         (0.65, 0.05, 0.05), (0, 0, 0), 0.0),
+        (([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]),
+         (0.12, 0.45, 0.15), (0, 0, 0), 0.0),
+    ]
+    for quad, kd, ks, ns in room_quads:
+        pos, idx = _quad(*quad)
+        meshes_pos.append(pos)
+        meshes_idx.append(idx)
+        kds.append(np.asarray(kd, np.float32))
+        kss.append(np.asarray(ks, np.float32))
+        nss.append(ns)
+
+    # low shelf close under the light: creates near-singular VPL geometry
+    pos, idx = _box([0.30, 0.0, 0.30], [0.70, 0.08, 0.70])
+    meshes_pos.append(pos)
+    meshes_idx.append(idx)
+    kds.append(np.asarray([0.6, 0.6, 0.6], np.float32))
+    kss.append(np.zeros(3, np.float32))
+    nss.append(0.0)
+
+    ly = 0.12  # light close above the shelf
+    lpos, lidx = _quad([0.46, ly, 0.46], [0.54, ly, 0.46],
+                       [0.54, ly, 0.54], [0.46, ly, 0.54])  # faces -y
+    camera = Camera(
+        origin=(0.5, 0.55, 2.6), look_at=(0.5, 0.35, 0.0), up=(0, 1, 0),
+        fovy=np.radians(28.0), aspect=1.0,
+    )
+    return build_scene(
+        positions_list=meshes_pos, indices_list=meshes_idx,
+        kd_list=kds, ks_list=kss, ns_list=nss,
+        light_positions=lpos, light_indices=lidx,
+        light_intensity=np.asarray(light_intensity, np.float32),
+        camera=camera,
+    )
+
+
 def box_field(num_boxes: int = 2000, seed: int = 0,
               light_intensity=(40.0, 38.0, 30.0, 0.0)) -> SceneData:
     """Large scene for BVH-path benchmarking: a field of random boxes

@@ -89,7 +89,7 @@ def test_tiled_splat_equals_dense():
     gbuf = trace_gbuffer(scene, RES, RES)
     pm = trace_light_paths(scene, iteration_key(2, 0), 512, 4)
     radius = jnp.float32(0.08)
-    for mis_mode in (0, 1, 4, 5):
+    for mis_mode in (0, 1, 2, 3, 4, 5):
         args = (radius, mis_mode, jnp.float32(2.0), jnp.float32(0.5),
                 jnp.float32(1.0 / 512))
         dense = np.asarray(photon_splat_dense(scene, gbuf, pm, *args))
