@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import jax.tree_util as jtu
 import numpy as np
 
 from evplp_tpu.core import mathutil as mu
@@ -39,8 +40,6 @@ class AreaLight:
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
         return cls(*leaves)
 
-
-import jax.tree_util as jtu  # noqa: E402
 
 jtu.register_pytree_node(AreaLight, AreaLight.tree_flatten, AreaLight.tree_unflatten)
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from evplp_tpu.core.sampling import iteration_key
-from evplp_tpu.integrators.gbuffer import trace_gbuffer
+from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
 from evplp_tpu.integrators.photon_fam import (
     FrameState, PhotonFamConfig, init_state, photon_fam_frame)
 from evplp_tpu.integrators.pt import render_pt_frame
@@ -80,8 +80,8 @@ class ProgressiveSchedule:
 
 
 def run_photon_fam(job: RenderJob, output_dir: str | None = None,
-                   splat_tile: int = 8, splat_cap: int = 128,
-                   splat_span: int = 4, max_wall_s: float | None = None,
+                   splat_tile: int = 16, splat_cap: int = 384,
+                   splat_span: int = 2, max_wall_s: float | None = None,
                    progress_every: int = 20,
                    checkpoint_path: str | None = None,
                    checkpoint_every: int | None = None,
@@ -274,7 +274,6 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
             result += render_pt_frame(scene, gbuf, jax.random.fold_in(key, s),
                                       p.num_max_bounces)
         result /= p.num_sample_per_pixel
-        from evplp_tpu.integrators.gbuffer import light_image
         light = light_image(scene, gbuf)
         new_acc = acc + result if accumulate else result
         return new_acc, light

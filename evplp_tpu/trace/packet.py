@@ -1,4 +1,9 @@
-"""Pallas packet BVH traversal — the TPU hot path for large scenes.
+"""Pallas packet BVH traversal, v1 — reference implementation.
+
+SUPERSEDED for dispatch by trace/packet2.py (VMEM-packed layout; this
+version's (T, 3) arrays pad the minor dim to 128 lanes in VMEM, capping
+scenes at ~30k triangles).  Kept as the readable form of the algorithm and
+for differential testing; same traversal semantics.
 
 Replaces OptiX rtTrace (reference triangleintersect.cu + Trbvh) for scenes
 above the brute-force threshold.  Design (classic SIMD packet tracing mapped
