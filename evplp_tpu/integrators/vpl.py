@@ -104,13 +104,17 @@ def vpl_chunk_contribution(scene: SceneData, gbuf: GBuffer, rec: dict,
 @partial(jax.jit, static_argnames=("mis_mode", "num_vpl_paths", "chunk"))
 def vpl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
                mis_mode: int, pdf_mc, clamping_value,
-               num_vpl_paths: int, chunk: int = 64) -> jnp.ndarray:
+               num_vpl_paths: int, chunk: int = 128) -> jnp.ndarray:
     """Gather the first num_vpl_paths light paths' records over all pixels.
 
     Returns the per-frame VPL image (N, 3), already divided by
-    num_vpl_paths (lighttracing.cu:378).
+    num_vpl_paths (lighttracing.cu:378).  chunk caps the records per scan
+    step; it is clipped to the (8-rounded) record count so small gathers
+    don't pad up (at reference settings 120 records run as one fat step —
+    measured 20% faster than 2x64).
     """
     flat = pm.slice_paths(num_vpl_paths).flat()
+    chunk = min(chunk, -(-flat.pos.shape[0] // 8) * 8)
     cam = jnp.asarray(scene.camera.origin, jnp.float32)
     wi10 = mu.normalize(cam[None, :] - gbuf.position)
 
