@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.scene.textures import fetch_kd
+from evplp_tpu.scene.textures import fetch_material
 from evplp_tpu.trace.intersect import intersect_closest
 
 
@@ -60,9 +60,7 @@ def trace_gbuffer(scene: SceneData, width: int, height: int,
 
     position = o + hit.t[:, None] * d
     normal = scene.tris.n[prim]
-    kd = fetch_kd(scene, prim, hit.u, hit.v)
-    ks = scene.tri_ks[prim]
-    ns = scene.tri_ns[prim]
+    kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
     is_light = scene.tri_is_light[prim] & valid
 
     zero3 = jnp.zeros_like(position)

@@ -27,7 +27,7 @@ from evplp_tpu.core import mathutil as mu
 from evplp_tpu.core.light import light_sample
 from evplp_tpu.core.sampling import uniform_not_one
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.scene.textures import fetch_kd
+from evplp_tpu.scene.textures import fetch_material
 from evplp_tpu.trace.intersect import intersect_closest
 
 FLAG_VPL = 1
@@ -119,9 +119,7 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
         ok = active & hit.valid
         ok = ok & (mu.dot(geom_n, direction) <= 0.0)
         ok = ok & ~scene.tri_is_light[prim]
-        kd = fetch_kd(scene, prim, hit.u, hit.v)
-        ks = scene.tri_ks[prim]
-        ns = scene.tri_ns[prim]
+        kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
         ok = ok & ~brdf.is_black(kd, ks)
 
         p_l = brdf.p_select_lambert(kd, ks)

@@ -27,7 +27,7 @@ from evplp_tpu.core.light import light_pdf_a, light_sample
 from evplp_tpu.core.sampling import uniform_not_one
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.scene.textures import fetch_kd
+from evplp_tpu.scene.textures import fetch_material
 from evplp_tpu.trace.intersect import intersect_closest, occluded_segment
 
 
@@ -137,9 +137,7 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         result = result + jnp.where(is_light[:, None], emission, 0.0)
 
         surface = hit_ok & ~is_light
-        kd = fetch_kd(scene, prim, hit.u, hit.v)
-        ks = scene.tri_ks[prim]
-        ns = scene.tri_ns[prim]
+        kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
         black = brdf.is_black(kd, ks)
         # the last bounce collects emission only (no NEE, no continuation:
         # prd.done is set before the last rtTrace in the reference)

@@ -135,7 +135,8 @@ def load_config(path: str) -> RenderJob:
     from evplp_tpu.scene.textures import TexturePoolBuilder
 
     pool = TexturePoolBuilder()
-    positions, indices, kds, kss, nss, uvs, layers = [], [], [], [], [], [], []
+    positions, indices, kds, kss, nss, uvs = [], [], [], [], [], []
+    layers, ks_layers, ns_layers = [], [], []
     for obj_rel in cfg["scene"]:
         obj_path = os.path.join(base, obj_rel)
         obj_dir = os.path.dirname(obj_path)
@@ -148,12 +149,15 @@ def load_config(path: str) -> RenderJob:
             kss.append(mat.ks)
             nss.append(mat.ns)
             uvs.append(m.texcoords)
-            layer = -1
-            if mat.map_kd:
-                tex_path = os.path.join(obj_dir, mat.map_kd)
-                if os.path.exists(tex_path):
-                    layer = pool.add_file(tex_path)
-            layers.append(layer)
+            def tex_layer(rel):
+                if not rel:
+                    return -1
+                tex_path = os.path.join(obj_dir, rel)
+                return pool.add_file(tex_path) if os.path.exists(tex_path) else -1
+
+            layers.append(tex_layer(mat.map_kd))
+            ks_layers.append(tex_layer(mat.map_ks))
+            ns_layers.append(tex_layer(mat.map_ns))
     tex_data, tex_size = pool.build()
 
     light_cfg = cfg["arealight"]
@@ -180,7 +184,8 @@ def load_config(path: str) -> RenderJob:
         kd_list=kds, ks_list=kss, ns_list=nss,
         light_positions=lpos, light_indices=lidx,
         light_intensity=intensity, camera=camera, uv_list=uvs,
-        kd_layer_list=layers, tex_data=tex_data, tex_size=tex_size,
+        kd_layer_list=layers, ks_layer_list=ks_layers,
+        ns_layer_list=ns_layers, tex_data=tex_data, tex_size=tex_size,
     )
 
     tech = next((k for k in TECHNIQUE_KEYS if k in cfg), None)

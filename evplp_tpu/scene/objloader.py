@@ -26,6 +26,8 @@ class ObjMaterial:
     ks: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     ns: float = 0.0
     map_kd: str | None = None
+    map_ks: str | None = None
+    map_ns: str | None = None
 
 
 @dataclass
@@ -61,6 +63,10 @@ def parse_mtl(path: str) -> dict[str, ObjMaterial]:
                 cur.ns = float(parts[1]) / 4.0
             elif key == "map_Kd":
                 cur.map_kd = parts[-1]
+            elif key == "map_Ks":
+                cur.map_ks = parts[-1]
+            elif key == "map_Ns":
+                cur.map_ns = parts[-1]
     return mats
 
 

@@ -31,6 +31,8 @@ class SceneData:
     tri_uv1: jnp.ndarray
     tri_uv2: jnp.ndarray
     tri_kd_layer: jnp.ndarray  # (T,) int32 texture layer for map_Kd, -1 = const
+    tri_ks_layer: jnp.ndarray  # (T,) int32 layer for map_Ks
+    tri_ns_layer: jnp.ndarray  # (T,) int32 layer for map_Ns (red channel)
     tex_data: jnp.ndarray     # (L, TH, TW, 3) texture pool
     tex_size: jnp.ndarray     # (L, 2) per-layer (h, w)
     light: AreaLight
@@ -46,7 +48,8 @@ class SceneData:
     def tree_flatten(self):  # pragma: no cover
         leaves = (self.tris, self.bvh, self.tri_kd, self.tri_ks, self.tri_ns,
                   self.tri_is_light, self.tri_uv0, self.tri_uv1, self.tri_uv2,
-                  self.tri_kd_layer, self.tex_data, self.tex_size,
+                  self.tri_kd_layer, self.tri_ks_layer, self.tri_ns_layer,
+                  self.tex_data, self.tex_size,
                   self.light)
         aux = (self.camera, self.bounding_radius, self.total_area)
         return leaves, aux
@@ -71,6 +74,8 @@ def build_scene(
     camera: Camera,
     uv_list: list[np.ndarray] | None = None,
     kd_layer_list: list[int] | None = None,
+    ks_layer_list: list[int] | None = None,
+    ns_layer_list: list[int] | None = None,
     tex_data: np.ndarray | None = None,
     tex_size: np.ndarray | None = None,
 ) -> SceneData:
@@ -85,8 +90,10 @@ def build_scene(
     """
     v0s, v1s, v2s, kds, kss, nss, lights = [], [], [], [], [], [], []
     uv0s, uv1s, uv2s, layers = [], [], [], []
+    ks_layers, ns_layers = [], []
 
-    def add_mesh(pos, idx, kd, ks, ns, is_light, uv=None, kd_layer=-1):
+    def add_mesh(pos, idx, kd, ks, ns, is_light, uv=None, kd_layer=-1,
+                 ks_layer=-1, ns_layer=-1):
         pos = np.asarray(pos, np.float32).reshape(-1, 3)
         idx = np.asarray(idx, np.int64).reshape(-1, 3)
         t = idx.shape[0]
@@ -104,12 +111,16 @@ def build_scene(
         uv1s.append(uv[idx[:, 1]])
         uv2s.append(uv[idx[:, 2]])
         layers.append(np.full((t,), kd_layer, np.int32))
+        ks_layers.append(np.full((t,), ks_layer, np.int32))
+        ns_layers.append(np.full((t,), ns_layer, np.int32))
 
     for i, (pos, idx) in enumerate(zip(positions_list, indices_list)):
         uv = uv_list[i] if uv_list is not None else None
         layer = kd_layer_list[i] if kd_layer_list is not None else -1
+        ksl = ks_layer_list[i] if ks_layer_list is not None else -1
+        nsl = ns_layer_list[i] if ns_layer_list is not None else -1
         add_mesh(pos, idx, kd_list[i], ks_list[i], ns_list[i], False, uv,
-                 kd_layer=layer)
+                 kd_layer=layer, ks_layer=ksl, ns_layer=nsl)
     add_mesh(light_positions, light_indices, np.zeros(3), np.zeros(3), 0.0, True)
 
     v0 = np.concatenate(v0s)
@@ -123,6 +134,8 @@ def build_scene(
     uv1 = np.concatenate(uv1s)
     uv2 = np.concatenate(uv2s)
     kd_layer = np.concatenate(layers)
+    ks_layer = np.concatenate(ks_layers)
+    ns_layer = np.concatenate(ns_layers)
 
     # scene statistics (reference semantics)
     areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
@@ -135,6 +148,7 @@ def build_scene(
     v0, v1, v2 = v0[perm], v1[perm], v2[perm]
     kd, ks, ns, is_light = kd[perm], ks[perm], ns[perm], is_light[perm]
     uv0, uv1, uv2, kd_layer = uv0[perm], uv1[perm], uv2[perm], kd_layer[perm]
+    ks_layer, ns_layer = ks_layer[perm], ns_layer[perm]
 
     e1 = v1 - v0
     e2 = v2 - v0
@@ -159,6 +173,7 @@ def build_scene(
         tri_is_light=jnp.asarray(is_light),
         tri_uv0=jnp.asarray(uv0), tri_uv1=jnp.asarray(uv1), tri_uv2=jnp.asarray(uv2),
         tri_kd_layer=jnp.asarray(kd_layer),
+        tri_ks_layer=jnp.asarray(ks_layer), tri_ns_layer=jnp.asarray(ns_layer),
         tex_data=jnp.asarray(tex_data), tex_size=jnp.asarray(tex_size),
         light=light,
         camera=camera,

@@ -93,6 +93,17 @@ def sample_bilinear(tex_data: jnp.ndarray, tex_size: jnp.ndarray,
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
 
+def _hit_uv(scene, prim, bary_u, bary_v):
+    uv0 = scene.tri_uv0[prim]
+    uv1 = scene.tri_uv1[prim]
+    uv2 = scene.tri_uv2[prim]
+    return uv0 + bary_u[:, None] * (uv1 - uv0) + bary_v[:, None] * (uv2 - uv0)
+
+
+def _no_textures(scene) -> bool:
+    return scene.tex_data.shape[0] == 1 and scene.tex_data.shape[1] == 1
+
+
 def fetch_kd(scene, prim, bary_u, bary_v) -> jnp.ndarray:
     """Lambert reflectance at a hit: textured when the triangle has a
     map_Kd layer, constant otherwise.
@@ -101,13 +112,34 @@ def fetch_kd(scene, prim, bary_u, bary_v) -> jnp.ndarray:
     (weights of e1/e2).
     """
     kd_const = scene.tri_kd[prim]
-    if scene.tex_data.shape[0] == 1 and scene.tex_data.shape[1] == 1:
+    if _no_textures(scene):
         return kd_const  # no textures in the scene: skip the gathers
     layer = scene.tri_kd_layer[prim]
-    uv0 = scene.tri_uv0[prim]
-    uv1 = scene.tri_uv1[prim]
-    uv2 = scene.tri_uv2[prim]
-    uv = uv0 + bary_u[:, None] * (uv1 - uv0) + bary_v[:, None] * (uv2 - uv0)
+    uv = _hit_uv(scene, prim, bary_u, bary_v)
     tex = sample_bilinear(scene.tex_data, scene.tex_size,
                           jnp.maximum(layer, 0), uv)
     return jnp.where((layer >= 0)[:, None], tex, kd_const)
+
+
+def fetch_material(scene, prim, bary_u, bary_v):
+    """(kd, ks, ns) at a hit with all three channels optionally textured —
+    the reference routes diffuse/specular/shininess through the same
+    RtTexture machinery (rtcommon.h:751-753); map_Ns uses the red channel
+    like the reference's phongExponentTexture.x (lighttracing.cu:133)."""
+    kd_const = scene.tri_kd[prim]
+    ks_const = scene.tri_ks[prim]
+    ns_const = scene.tri_ns[prim]
+    if _no_textures(scene):
+        return kd_const, ks_const, ns_const
+    uv = _hit_uv(scene, prim, bary_u, bary_v)
+
+    def pick(layer, const, scalar=False):
+        tex = sample_bilinear(scene.tex_data, scene.tex_size,
+                              jnp.maximum(layer, 0), uv)
+        if scalar:
+            return jnp.where(layer >= 0, tex[:, 0], const)
+        return jnp.where((layer >= 0)[:, None], tex, const)
+
+    return (pick(scene.tri_kd_layer[prim], kd_const),
+            pick(scene.tri_ks_layer[prim], ks_const),
+            pick(scene.tri_ns_layer[prim], ns_const, scalar=True))

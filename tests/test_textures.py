@@ -97,3 +97,44 @@ def test_textured_scene_end_to_end(tmp_path):
     vals = kd[floor][:, 0]
     # checkerboard: both near-black and near-white kd present
     assert (vals > 0.85).any() and (vals < 0.15).any()
+
+
+def test_fetch_material_all_channels(tmp_path):
+    """map_Kd + map_Ks + map_Ns routed through the pool (rtcommon.h:751-753)."""
+    import jax.numpy as jnp
+
+    from evplp_tpu.scene.camera import Camera
+    from evplp_tpu.scene.scene import build_scene
+    from evplp_tpu.scene.textures import fetch_material
+
+    pool = TexturePoolBuilder()
+    kd_l = pool.add_image(np.full((2, 2, 3), 0.25, np.float32))
+    ks_l = pool.add_image(np.full((2, 2, 3), 0.75, np.float32))
+    ns_l = pool.add_image(np.full((2, 2, 3), 0.125, np.float32))
+    tex_data, tex_size = pool.build()
+
+    fpos = np.asarray([[-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1]], np.float32)
+    fuv = np.asarray([[0, 0], [0, 1], [1, 1], [1, 0]], np.float32)
+    fidx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int64)
+    lpos = np.asarray([[-0.2, 2, -0.2], [0.2, 2, -0.2],
+                       [0.2, 2, 0.2], [-0.2, 2, 0.2]], np.float32)
+    lidx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int64)
+    cam = Camera(origin=(0, 3, 0.001), look_at=(0, 0, 0), up=(0, 1, 0),
+                 fovy=np.radians(40.0), aspect=1.0)
+    scene = build_scene(
+        positions_list=[fpos], indices_list=[fidx],
+        kd_list=[np.ones(3)], ks_list=[np.ones(3)], ns_list=[99.0],
+        light_positions=lpos, light_indices=lidx,
+        light_intensity=np.asarray([5, 5, 5, 0], np.float32), camera=cam,
+        uv_list=[fuv], kd_layer_list=[kd_l], ks_layer_list=[ks_l],
+        ns_layer_list=[ns_l], tex_data=tex_data, tex_size=tex_size,
+    )
+    prim = jnp.zeros((3,), jnp.int32)  # some floor triangle (leaf-reordered)
+    floor_ids = np.nonzero(~np.asarray(scene.tri_is_light))[0]
+    prim = jnp.full((3,), int(floor_ids[0]), jnp.int32)
+    u = jnp.asarray([0.2, 0.3, 0.1])
+    v = jnp.asarray([0.1, 0.2, 0.4])
+    kd, ks, ns = fetch_material(scene, prim, u, v)
+    np.testing.assert_allclose(np.asarray(kd), 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ks), 0.75, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ns), 0.125, atol=1e-6)
