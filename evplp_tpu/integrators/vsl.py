@@ -147,11 +147,24 @@ def _vsl_record(scene, gbuf, rec, key, vsl_radius, vsl_inv_pi_r2, wi10):
                          w_b2[:, None] * c_b2, 0.0)
 
         use = (s < num_samples)[:, None]
-        return acc + jnp.where(use, c_cone + c_b1 + c_b2, 0.0), None
+        return acc + jnp.where(use, c_cone + c_b1 + c_b2, 0.0)
+
+    # dynamic trip count: most (pixel, VSL) pairs need only a few samples
+    # (numSamples ~ halfCone*200/pi + 1); loop to the batch maximum instead
+    # of the static 101-step worst case
+    s_needed = jnp.minimum(jnp.max(jnp.where(gate, num_samples, 0)),
+                           MAX_VSL_SAMPLES)
+
+    def cond(carry):
+        s, _ = carry
+        return s < s_needed
+
+    def body(carry):
+        s, acc = carry
+        return s + 1, sample_step(acc, s)
 
     acc0 = jnp.zeros((n, 3), jnp.float32)
-    acc, _ = jax.lax.scan(sample_step, acc0,
-                          jnp.arange(MAX_VSL_SAMPLES, dtype=jnp.int32))
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
     out = acc / jnp.maximum(num_samples.astype(jnp.float32), 1.0)[:, None]
     return jnp.where(gate[:, None], out, 0.0)
 
