@@ -84,6 +84,28 @@ def main():
     )
     mrays = rays_per_frame * frames / elapsed / 1e6
 
+    # secondary: path-tracing throughput (1 primary + per-bounce extension
+    # + NEE shadow segment per pixel, RR-terminated — count the upper bound)
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.pt import render_pt_frame
+
+    @jax.jit
+    def pt_frame(acc, key):
+        gbuf = trace_gbuffer(scene, RES, RES, None)
+        return acc + render_pt_frame(scene, gbuf, key, NUM_BOUNCES)
+
+    acc = jnp.zeros((n_px, 3), jnp.float32)
+    acc = pt_frame(acc, iteration_key(1, 0))
+    jax.block_until_ready(acc)
+    t0 = time.perf_counter()
+    pt_frames = 10
+    for i in range(pt_frames):
+        acc = pt_frame(acc, iteration_key(1, 1 + i))
+    jax.block_until_ready(acc)
+    pt_elapsed = time.perf_counter() - t0
+    pt_rays = n_px * (1 + NUM_BOUNCES * 2)  # upper bound per frame
+    pt_mrays = pt_rays * pt_frames / pt_elapsed / 1e6
+
     print(json.dumps({
         "metric": "evplp_mrays_per_sec",
         "value": round(mrays, 2),
@@ -94,6 +116,8 @@ def main():
         "resolution": RES,
         "device": str(jax.devices()[0]),
         "dropped_splat_pairs": int(state.dropped),
+        "pt_mrays_per_sec": round(pt_mrays, 2),
+        "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
     }))
 
 
