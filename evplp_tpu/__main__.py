@@ -25,6 +25,9 @@ def main(argv=None):
                     help="hard wall-clock cap regardless of timeLimitMs")
     ap.add_argument("--profile", action="store_true",
                     help="per-pass device timing (printed + in stats)")
+    ap.add_argument("--gamma", action="store_true",
+                    help="apply the display gamma (pow 1/2.2, final.frag:"
+                         "27-30) to saved outputs; reference dumps are linear")
     ap.add_argument("--checkpoint", default=None,
                     help="write progressive-state checkpoints here")
     ap.add_argument("--checkpoint-every", type=int, default=50)
@@ -40,7 +43,8 @@ def main(argv=None):
 
     from evplp_tpu.runtime.render import render_config
 
-    kwargs = {"max_wall_s": args.max_wall_s}
+    kwargs = {"max_wall_s": args.max_wall_s,
+              "display_gamma": args.gamma}
     if args.profile:
         kwargs["profile"] = True
     if args.checkpoint:
@@ -53,7 +57,8 @@ def main(argv=None):
     with open(args.config) as f:
         cfg = json.load(f)
     if "pt" in cfg:
-        kwargs = {"max_wall_s": args.max_wall_s}
+        kwargs = {"max_wall_s": args.max_wall_s,
+                  "display_gamma": args.gamma}
 
     result = render_config(args.config, output_dir=args.output_dir, **kwargs)
     print(json.dumps({

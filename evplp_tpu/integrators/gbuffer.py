@@ -75,6 +75,16 @@ def trace_gbuffer(scene: SceneData, width: int, height: int,
     )
 
 
+def zero_gbuffer(n: int) -> GBuffer:
+    """The never-rendered G-buffer the reference has when run.deferredShading
+    is disabled (rtcomphoton.h:188-197): stencil 0 everywhere, so every
+    downstream estimator produces black."""
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    z1 = jnp.zeros((n,), jnp.float32)
+    return GBuffer(position=z3, normal=z3, kd=z3, ks=z3, ns=z1, stencil=z1,
+                   hit_light=jnp.zeros((n,), bool))
+
+
 def light_image(scene: SceneData, gbuf: GBuffer) -> jnp.ndarray:
     """Emitter forward pass (shaders/light.frag): flat *unpremultiplied*
     intensity where the emitter is directly visible."""

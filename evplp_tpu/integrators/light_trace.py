@@ -79,18 +79,48 @@ class PhotonMap:
 jtu.register_pytree_node(PhotonMap, PhotonMap.tree_flatten, PhotonMap.tree_unflatten)
 
 
+def zero_photon_map(num_paths: int, num_records: int) -> PhotonMap:
+    """All-flags-zero map: the never-written photon buffer the reference has
+    when run.lightTracing is disabled (the SSBO stays uninitialized;
+    flags == 0 makes every record unusable, rtcomphoton.h:188-197)."""
+    p, b = num_paths, num_records
+    z3 = jnp.zeros((p, b, 3), jnp.float32)
+    z1 = jnp.zeros((p, b), jnp.float32)
+    return PhotonMap(pos=z3, normal=z3, flux=z3, flux_dir=z3, kd=z3, ks=z3,
+                     ns=z1, p_select=z1,
+                     flags=jnp.zeros((p, b), jnp.int32))
+
+
 def trace_light_paths(scene: SceneData, key, num_paths: int,
-                      num_records: int) -> PhotonMap:
-    """Trace the light subpaths. num_records >= 2."""
+                      num_records: int, path_offset: int = 0) -> PhotonMap:
+    """Trace the light subpaths. num_records >= 2.
+
+    RNG is counter-based per GLOBAL path id (path_offset + lane), mirroring
+    the reference's curand_init(pathId, rngSeed) (lighttracing.cu:202-203):
+    any partition of the path-id range — e.g. one block per device in the
+    sharded frame — traces the identical path set.
+    """
     p = num_paths
     exp = scene.light.intensity[3]
 
+    ids = path_offset + jnp.arange(p, dtype=jnp.int32)
+    pkeys = jax.vmap(jax.random.fold_in, (None, 0))(key, ids)
+
+    def pdraw(tag, width=None):
+        """Per-path uniform draw; `tag` distinguishes the draw site (may be
+        a traced scalar, e.g. the bounce index)."""
+        if width is None:
+            f = lambda k, t: jax.random.uniform(jax.random.fold_in(k, t))
+        else:
+            f = lambda k, t: jax.random.uniform(jax.random.fold_in(k, t),
+                                                (width,))
+        return jax.vmap(f, (0, None))(pkeys, tag)
+
     # ---- vertex 0: emitter sample + power-cosine emission direction ----
-    k_light, k_emit = jax.random.split(jax.random.fold_in(key, 0), 2)
-    u3 = jax.random.uniform(k_light, (p, 3))
+    u3 = pdraw(0, 3)
     pos0, n0, _, flux0 = light_sample(scene.light, u3)
 
-    u_emit = jax.random.uniform(k_emit, (p, 2))
+    u_emit = pdraw(1, 2)
     # the reference emits through PhongSample(in=normal, n=normal, ks=1,
     # exp=intensity.w): a power-cosine lobe around the normal with weight
     # (exp+2)/(exp+1)*cos (lighttracing.cu:213)
@@ -105,8 +135,6 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
     # (the body compiles once; an unrolled loop multiplied compile time)
     def bounce_body(carry, b):
         position, direction, flux, active = carry
-        kb = jax.random.fold_in(key, b)
-        k_sel, k_lobe, k_rr = jax.random.split(kb, 3)
         last = b == num_records - 1
 
         hit = intersect_closest(scene.tris, scene.bvh, position, direction,
@@ -123,14 +151,14 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
         ok = ok & ~brdf.is_black(kd, ks)
 
         p_l = brdf.p_select_lambert(kd, ks)
-        u_sel = uniform_not_one(jax.random.uniform(k_sel, (p,)))
+        u_sel = uniform_not_one(pdraw(3 * b))
         chose_l = u_sel < p_l
 
         base_flag = jnp.where(last, FLAG_PHOTON, FLAG_VPL | FLAG_PHOTON)
 
         # RR on the arriving flux (lighttracing.cu:164-167)
         russian = brdf.russian_prob_light(flux)
-        survive = jax.random.uniform(k_rr, (p,)) < russian
+        survive = pdraw(3 * b + 2) < russian
         lobe_flag = jnp.where(chose_l, FLAG_LAMBERT_ONLY, FLAG_PHONG_ONLY)
         # the lobe bit is set whenever RR survives — also on the last vertex,
         # where the sampled direction is simply never traced (the reference's
@@ -155,7 +183,7 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
         )
 
         flux_rr = flux / jnp.maximum(russian, 1e-8)[:, None]
-        u_lobe = jax.random.uniform(k_lobe, (p, 2))
+        u_lobe = pdraw(3 * b + 1, 2)
         new_dir, _, lobe_w, _ = brdf.sample_combined(
             u_sel, u_lobe, -direction, geom_n, geom_n, kd, ks, ns)
 

@@ -69,19 +69,30 @@ def _lvc_contribution(scene, gbuf, rec, mis_mode, pdf_mc, clamping_value,
     return jnp.where(keep[:, None], out, 0.0)
 
 
+def lvc_offsets(key, n: int, num_paths: int) -> jnp.ndarray:
+    """Per-pixel random window starts into the path pool
+    (lvclighttracing.cu:366-368)."""
+    u = jnp.minimum(jax.random.uniform(key, (n,)), 0.999999)
+    return (u * num_paths).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("mis_mode", "num_vpl_paths"))
 def lvc_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                mis_mode: int, pdf_mc, clamping_value,
-               num_vpl_paths: int) -> jnp.ndarray:
-    """Per-pixel randomized light-subpath selection."""
+               num_vpl_paths: int, offsets=None) -> jnp.ndarray:
+    """Per-pixel randomized light-subpath selection.
+
+    offsets: precomputed per-pixel window starts — passed by the sharded
+    frame, which draws them over the full image and slices its rows so the
+    selection is identical to the single-device run.
+    """
     n = gbuf.position.shape[0]
     num_paths = pm.num_paths
     b = pm.num_records
     cam = jnp.asarray(scene.camera.origin, jnp.float32)
     wi10 = mu.normalize(cam[None, :] - gbuf.position)
 
-    u = jnp.minimum(jax.random.uniform(key, (n,)), 0.999999)
-    offset = (u * num_paths).astype(jnp.int32)
+    offset = lvc_offsets(key, n, num_paths) if offsets is None else offsets
 
     flat = pm.flat()
     fields = {

@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
-from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
-from evplp_tpu.integrators.light_trace import trace_light_paths
+from evplp_tpu.integrators.gbuffer import (light_image, trace_gbuffer,
+                                           zero_gbuffer)
+from evplp_tpu.integrators.light_trace import (trace_light_paths,
+                                               zero_photon_map)
 from evplp_tpu.integrators.lvc import lvc_gather
 from evplp_tpu.integrators.photon_splat import photon_splat_tiled
 from evplp_tpu.integrators.vpl import vpl_gather
@@ -39,14 +41,19 @@ class PhotonFamConfig:
     mis_mode: int
     accumulate: bool            # frameMode == accumulate
     use_jitter: bool
+    do_deferred: bool = True
     do_light_tracing: bool = True
     do_vpl: bool = True
     do_photon: bool = True
     do_light_render: bool = True
+    # run.finalize gates only the reference's on-screen composite; every
+    # image dump re-runs the final program regardless (rtcomphoton.h:1084,
+    # 1121-1132), so headless it is a no-op — kept for schema parity.
+    do_finalize: bool = True
     force_vsl: bool = False
     lvc: bool = False
     splat_tile: int = 16
-    splat_cap: int = 384
+    splat_cap: int = 65536
     splat_span: int = 2
 
 
@@ -104,12 +111,22 @@ def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
     else:
         jitter = None
 
-    gbuf = timer.time_call("gbuffer", _gbuffer_jit, scene, cfg.width,
-                           cfg.height, jitter)
+    if cfg.do_deferred:
+        gbuf = timer.time_call("gbuffer", _gbuffer_jit, scene, cfg.width,
+                               cfg.height, jitter)
+    else:
+        # run.deferredShading=false: the G-buffer is never rendered
+        # (rtcomphoton.h:954-960 skipped) — stencil 0 -> black estimators
+        gbuf = zero_gbuffer(cfg.width * cfg.height)
 
-    pm = timer.time_call("light_trace", _light_trace_jit, scene,
-                         jax.random.fold_in(key, 1),
-                         cfg.num_light_paths, cfg.num_records)
+    if cfg.do_light_tracing:
+        pm = timer.time_call("light_trace", _light_trace_jit, scene,
+                             jax.random.fold_in(key, 1),
+                             cfg.num_light_paths, cfg.num_records)
+    else:
+        # run.lightTracing=false: the photon SSBO is never written
+        # (rtcomphoton.h:962-966 skipped) — flags 0 -> no usable records
+        pm = zero_photon_map(cfg.num_light_paths, cfg.num_records)
 
     vpl_acc = state.vpl_acc
     if cfg.do_vpl and cfg.num_vpl_light_paths > 0:

@@ -185,10 +185,16 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
                        inv_num_light_paths, width: int, height: int,
                        jitter_ndc=None, tile: int = 8, cap: int = 128,
                        span: int = 4, row_offset=None, full_height=None):
-    """Tile-binned splat. Returns (image (N,3), dropped_pairs count).
+    """Multi-level tile-binned splat. Returns (image (N,3), dropped count).
 
-    dropped_pairs counts (photon, tile) pairs lost to the per-tile capacity
-    or to footprints wider than `span` tiles — the no-silent-caps meter.
+    Every photon is routed to the FIRST level of a tile pyramid
+    (tile, 4*tile, 16*tile, ..., whole-film) whose span-tile window covers
+    its screen footprint, so no footprint is ever cropped.  Per-tile photon
+    runs live directly in the tile-sorted pair array (no fixed-capacity
+    table) and are consumed by a while_loop up to the batch's actual
+    maximum occupancy — nothing is ever silently lost.  `cap` remains only
+    as a runaway guard on the loop; pairs beyond it are counted in
+    `dropped` (0 unless cap is set absurdly low).
 
     For pixel-sharded execution, gbuf covers rows
     [row_offset, row_offset+height) of a full_height-tall film: projection
@@ -196,9 +202,21 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
     """
     ph = _photon_major(pm, mis_mode, pdf_mc)
     m = ph["pos"].shape[0]
-    tx_n = -(-width // tile)
-    ty_n = -(-height // tile)
-    nt = tx_n * ty_n
+
+    # ---- tile pyramid: fine -> coarse, then one whole-film level ----
+    sizes = []
+    t = tile
+    while t < max(width, height):
+        sizes.append(t)
+        t *= 4
+    sizes.append(-(-max(width, height) // 8) * 8)  # global: one tile
+    grids = []   # (tile_l, txn, tyn, id_offset)
+    off = 0
+    for t in sizes:
+        txn, tyn = -(-width // t), -(-height // t)
+        grids.append((t, txn, tyn, off))
+        off += txn * tyn
+    total_tiles = off
 
     px, py, z, in_front, sx, sy = _project(
         scene, ph["pos"], width,
@@ -209,119 +227,142 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
     r_px_y = radius / z * sy + 1.0
     gate = ph["gate"] & in_front
 
-    # unclipped tile ranges; a photon is relevant only if its footprint
-    # intersects this film window at all
-    tx0u = jnp.floor((px - r_px_x) / tile).astype(jnp.int32)
-    tx1u = jnp.floor((px + r_px_x) / tile).astype(jnp.int32)
-    ty0u = jnp.floor((py - r_px_y) / tile).astype(jnp.int32)
-    ty1u = jnp.floor((py + r_px_y) / tile).astype(jnp.int32)
-    gate = gate & (tx1u >= 0) & (tx0u <= tx_n - 1) \
-        & (ty1u >= 0) & (ty0u <= ty_n - 1)
+    # per-level tile ranges + window intersection; route each photon to the
+    # finest level whose span-tile window covers its footprint (the last,
+    # whole-film level always does)
+    lv = []
+    for t, txn, tyn, _ in grids:
+        tx0u = jnp.floor((px - r_px_x) / t).astype(jnp.int32)
+        tx1u = jnp.floor((px + r_px_x) / t).astype(jnp.int32)
+        ty0u = jnp.floor((py - r_px_y) / t).astype(jnp.int32)
+        ty1u = jnp.floor((py + r_px_y) / t).astype(jnp.int32)
+        in_window = ((tx1u >= 0) & (tx0u <= txn - 1)
+                     & (ty1u >= 0) & (ty0u <= tyn - 1))
+        tx0 = jnp.clip(tx0u, 0, txn - 1)
+        tx1 = jnp.clip(tx1u, 0, txn - 1)
+        ty0 = jnp.clip(ty0u, 0, tyn - 1)
+        ty1 = jnp.clip(ty1u, 0, tyn - 1)
+        fits = ((tx1 - tx0 + 1) <= span) & ((ty1 - ty0 + 1) <= span)
+        lv.append((tx0, tx1, ty0, ty1, fits, in_window))
 
-    tx0 = jnp.clip(tx0u, 0, tx_n - 1)
-    tx1 = jnp.clip(tx1u, 0, tx_n - 1)
-    ty0 = jnp.clip(ty0u, 0, ty_n - 1)
-    ty1 = jnp.clip(ty1u, 0, ty_n - 1)
+    chosen = jnp.full((m,), len(grids) - 1, jnp.int32)
+    for li in range(len(grids) - 2, -1, -1):
+        chosen = jnp.where(lv[li][4], jnp.int32(li), chosen)
 
-    # center-crop footprints wider than span tiles (counted as dropped)
-    cx = jnp.clip(jnp.floor(px / tile).astype(jnp.int32), 0, tx_n - 1)
-    cy = jnp.clip(jnp.floor(py / tile).astype(jnp.int32), 0, ty_n - 1)
-    wide = ((tx1 - tx0 + 1) > span) | ((ty1 - ty0 + 1) > span)
-    half = span // 2
-    tx0 = jnp.where(wide, jnp.maximum(cx - half, 0), tx0)
-    tx1 = jnp.where(wide, jnp.minimum(tx0 + span - 1, tx_n - 1), tx1)
-    ty0 = jnp.where(wide, jnp.maximum(cy - half, 0), ty0)
-    ty1 = jnp.where(wide, jnp.minimum(ty0 + span - 1, ty_n - 1), ty1)
+    def sel(field_idx):
+        out = lv[-1][field_idx]
+        for li in range(len(grids) - 2, -1, -1):
+            out = jnp.where(chosen == li, lv[li][field_idx], out)
+        return out
 
-    # (photon, tile) pair ids; invalid -> nt (drop bucket)
+    tx0s, tx1s, ty0s, ty1s = sel(0), sel(1), sel(2), sel(3)
+    in_window = sel(5)
+    txn_s = jnp.zeros((m,), jnp.int32)
+    off_s = jnp.zeros((m,), jnp.int32)
+    for li, (_, txn, _, o) in enumerate(grids):
+        txn_s = jnp.where(chosen == li, txn, txn_s)
+        off_s = jnp.where(chosen == li, o, off_s)
+    gate = gate & in_window
+
+    # (photon, tile) pair ids in the combined id space; invalid -> drop slot
     dys = jnp.arange(span, dtype=jnp.int32)
     dxs = jnp.arange(span, dtype=jnp.int32)
-    ty = ty0[:, None] + dys[None, :]                     # (M, span)
-    tx = tx0[:, None] + dxs[None, :]
-    valid_y = ty <= ty1[:, None]
-    valid_x = tx <= tx1[:, None]
-    tid = ty[:, :, None] * tx_n + tx[:, None, :]         # (M, span, span)
+    ty = ty0s[:, None] + dys[None, :]                    # (M, span)
+    tx = tx0s[:, None] + dxs[None, :]
+    valid_y = ty <= ty1s[:, None]
+    valid_x = tx <= tx1s[:, None]
+    tid = (off_s[:, None, None] + ty[:, :, None] * txn_s[:, None, None]
+           + tx[:, None, :])                             # (M, span, span)
     valid = (valid_y[:, :, None] & valid_x[:, None, :]
              & gate[:, None, None])
-    tid = jnp.where(valid, tid, nt).reshape(-1)          # (M*span*span,)
+    tid = jnp.where(valid, tid, total_tiles).reshape(-1)
     pair_photon = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[:, None, None],
         (m, span, span)).reshape(-1)
 
-    # sort pairs by tile; rank within each tile run via neighbor-diff +
-    # cumulative max (O(M), cheaper than a second searchsorted)
+    # sort pairs by tile: each tile's photons become one contiguous run
     order = jnp.argsort(tid)
     stid = tid[order]
     sphoton = pair_photon[order]
-    idx = jnp.arange(stid.shape[0], dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), stid[1:] != stid[:-1]])
-    run_first = jax.lax.cummax(jnp.where(is_start, idx, 0))
-    rank = idx - run_first
 
-    keep = (stid < nt) & (rank < cap)
-    dropped = jnp.sum((stid < nt) & (rank >= cap)) + jnp.sum(wide & gate)
-
-    row = jnp.where(keep, stid, nt)
-    col = jnp.where(keep, rank, 0)
-    table = jnp.full((nt + 1, cap), -1, jnp.int32)
-    table = table.at[row, col].set(jnp.where(keep, sphoton, -1), mode="drop")
-    table = table[:nt]
-
-    # ---- pixel side: block layout (NT, tile*tile) via pad + reshape ----
-    wp = tx_n * tile
-    hp = ty_n * tile
-
-    def blockify(img):
-        c = img.shape[-1] if img.ndim == 2 else 0
-        shape2 = (height, width, c) if c else (height, width)
-        x = img.reshape(shape2)
-        pad = ((0, hp - height), (0, wp - width)) + (((0, 0),) if c else ())
-        x = jnp.pad(x, pad)
-        if c:
-            x = x.reshape(ty_n, tile, tx_n, tile, c).transpose(0, 2, 1, 3, 4)
-            return x.reshape(nt, tile * tile, c)
-        x = x.reshape(ty_n, tile, tx_n, tile).transpose(0, 2, 1, 3)
-        return x.reshape(nt, tile * tile)
+    # per-tile runs in the sorted pair array: starts via binary search (the
+    # drop bucket at total_tiles terminates the last run).  No per-tile
+    # table, no capacity: every pair is consumed, so nothing is ever lost —
+    # `cap` only bounds the while_loop as a runaway guard (counted if hit).
+    starts = jnp.searchsorted(stid, jnp.arange(total_tiles + 1,
+                                               dtype=jnp.int32))
+    counts = jnp.diff(starts)
+    dropped = jnp.sum(jnp.maximum(counts - cap, 0))
+    n_pairs = stid.shape[0]
 
     cam = jnp.asarray(scene.camera.origin, jnp.float32)
     w10 = mu.normalize(cam[None, :] - gbuf.position)
-    px_pos = blockify(gbuf.position)
-    px_n = blockify(gbuf.normal)
-    px_kd = blockify(gbuf.kd)
-    px_ks = blockify(gbuf.ks)
-    px_ns = blockify(gbuf.ns)
-    px_w10 = blockify(w10)
-    px_st = blockify(gbuf.stencil)
-
     r2 = radius * radius
     kde = mu.INV_PI / r2 * inv_num_light_paths
 
-    # process the capacity dimension in fat chunks: each scan step evaluates
-    # CK photons per tile against the tile's pixels as one dense op
+    # per-level occupancy: chunks run only to the actual max occupancy
     ck = min(16, cap)
-    n_ck = -(-cap // ck)
-    pad_ck = n_ck * ck - cap
-    table_c = jnp.pad(table, ((0, 0), (0, pad_ck)), constant_values=-1)
-    table_c = table_c.reshape(nt, n_ck, ck).transpose(1, 0, 2)  # (n_ck, NT, ck)
 
-    def chunk(acc, idx):
-        # idx: (NT, ck) photon ids or -1
-        ok = idx >= 0
-        g = jnp.maximum(idx, 0)
-        # photon-major fields -> (NT, ck, 1, ...) broadcasting vs pixels
-        rec = {k: v[g][:, :, None, ...] for k, v in ph.items()}
-        rec["gate"] = rec["gate"] & ok[:, :, None]
-        contrib = _splat_eval(rec, px_pos[:, None], px_n[:, None],
-                              px_kd[:, None], px_ks[:, None],
-                              px_ns[:, None], px_w10[:, None],
-                              px_st[:, None], r2, kde, mis_mode,
-                              clamping_value)
-        return acc + jnp.sum(contrib, axis=1), None
+    img = jnp.zeros((height * width, 3), jnp.float32)
+    for li, (t, txn, tyn, o) in enumerate(grids):
+        nt = txn * tyn
+        starts_l = jax.lax.dynamic_slice(starts, (o,), (nt,))
+        counts_l = jax.lax.dynamic_slice(counts, (o,), (nt,))
+        ends_l = starts_l + jnp.minimum(counts_l, cap)
+        needed = jnp.max(counts_l, initial=0)
 
-    acc0 = jnp.zeros((nt, tile * tile, 3), jnp.float32)
-    acc, _ = jax.lax.scan(chunk, acc0, table_c)
+        # pixel side: block layout (nt, t*t) via pad + reshape
+        wp, hp = txn * t, tyn * t
 
-    # unblockify -> (H*W, 3)
-    img = acc.reshape(ty_n, tx_n, tile, tile, 3).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(hp, wp, 3)[:height, :width].reshape(-1, 3)
+        def blockify(x, t=t, txn=txn, tyn=tyn, nt=nt, wp=wp, hp=hp):
+            c = x.shape[-1] if x.ndim == 2 else 0
+            shape2 = (height, width, c) if c else (height, width)
+            x = x.reshape(shape2)
+            pad = ((0, hp - height), (0, wp - width)) + (((0, 0),) if c else ())
+            x = jnp.pad(x, pad)
+            if c:
+                x = x.reshape(tyn, t, txn, t, c).transpose(0, 2, 1, 3, 4)
+                return x.reshape(nt, t * t, c)
+            x = x.reshape(tyn, t, txn, t).transpose(0, 2, 1, 3)
+            return x.reshape(nt, t * t)
+
+        px_pos = blockify(gbuf.position)
+        px_n = blockify(gbuf.normal)
+        px_kd = blockify(gbuf.kd)
+        px_ks = blockify(gbuf.ks)
+        px_ns = blockify(gbuf.ns)
+        px_w10 = blockify(w10)
+        px_st = blockify(gbuf.stencil)
+
+        def cond(carry):
+            c, _ = carry
+            return c * ck < jnp.minimum(needed, cap)
+
+        def body(carry, starts_l=starts_l, ends_l=ends_l, px_pos=px_pos,
+                 px_n=px_n, px_kd=px_kd, px_ks=px_ks, px_ns=px_ns,
+                 px_w10=px_w10, px_st=px_st):
+            c, acc = carry
+            # gather this chunk's pair slots straight from the sorted runs
+            slot = starts_l[:, None] + c * ck + jnp.arange(ck,
+                                                           dtype=jnp.int32)
+            ok = slot < ends_l[:, None]
+            g = sphoton[jnp.minimum(slot, n_pairs - 1)]
+            # photon-major fields -> (nt, ck, 1, ...) broadcasting vs pixels
+            rec = {k: v[g][:, :, None, ...] for k, v in ph.items()}
+            rec["gate"] = rec["gate"] & ok[:, :, None]
+            contrib = _splat_eval(rec, px_pos[:, None], px_n[:, None],
+                                  px_kd[:, None], px_ks[:, None],
+                                  px_ns[:, None], px_w10[:, None],
+                                  px_st[:, None], r2, kde, mis_mode,
+                                  clamping_value)
+            return c + 1, acc + jnp.sum(contrib, axis=1)
+
+        acc0 = jnp.zeros((nt, t * t, 3), jnp.float32)
+        _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+
+        # unblockify -> (H*W, 3) and accumulate into the image
+        lvl = acc.reshape(tyn, txn, t, t, 3).transpose(0, 2, 1, 3, 4)
+        lvl = lvl.reshape(hp, wp, 3)[:height, :width].reshape(-1, 3)
+        img = img + lvl
+
     return img, dropped

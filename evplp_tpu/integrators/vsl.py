@@ -49,9 +49,21 @@ def _pdf_brdf2(rec, wi12, p_l_shading):
                                rec["ks"][None, :], rec["ns"]))
 
 
-def _vsl_record(scene, gbuf, rec, key, vsl_radius, vsl_inv_pi_r2, wi10):
-    """One VSL record vs all pixels: (N, 3)."""
+def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10):
+    """One VSL record vs all pixels: (N, 3).
+
+    pkeys: per-pixel RNG keys (counter-based on the GLOBAL pixel id, so a
+    row-sharded run draws the same numbers as the single-device run)."""
     n = gbuf.position.shape[0]
+
+    def pdraw(s, tag, width=None):
+        if width is None:
+            f = lambda k: jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(k, s), tag))
+        else:
+            f = lambda k: jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(k, s), tag), (width,))
+        return jax.vmap(f)(pkeys)
     v12 = rec["pos"][None, :] - gbuf.position
     d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
     dist = jnp.sqrt(d2)
@@ -84,11 +96,9 @@ def _vsl_record(scene, gbuf, rec, key, vsl_radius, vsl_inv_pi_r2, wi10):
 
     def sample_step(carry, s):
         acc = carry
-        ks_ = jax.random.fold_in(key, s)
-        k_cone, k_b1s, k_b1l, k_b2s, k_b2l = jax.random.split(ks_, 5)
 
         # ---- strategy 1: uniform cone (lighttracing.cu:395-446) ----
-        u_cone = jax.random.uniform(k_cone, (n, 2))
+        u_cone = pdraw(s, 0, 2)
         local = mu.square_to_solid_angle(u_cone, half_cone)
         w12c = mu.normalize(mu.from_local(local, nv12))
         cc = (jnp.maximum(mu.dot(gbuf.normal, w12c), 0.0)
@@ -104,8 +114,8 @@ def _vsl_record(scene, gbuf, rec, key, vsl_radius, vsl_inv_pi_r2, wi10):
                            w_cone[:, None] * c_cone, 0.0)
 
         # ---- strategy 2: eye-side BRDF sampling (:448-521) ----
-        u_sel1 = jax.random.uniform(k_b1s, (n,))
-        u_b1 = jax.random.uniform(k_b1l, (n, 2))
+        u_sel1 = pdraw(s, 1)
+        u_b1 = pdraw(s, 2, 2)
         w12b, _, lobe_w1, _ = brdf.sample_combined(
             jnp.minimum(u_sel1, 0.999999), u_b1, wi10, gbuf.normal,
             gbuf.normal, gbuf.kd, gbuf.ks, gbuf.ns)
@@ -122,8 +132,8 @@ def _vsl_record(scene, gbuf, rec, key, vsl_radius, vsl_inv_pi_r2, wi10):
                          w_b1[:, None] * c_b1, 0.0)
 
         # ---- strategy 3: light-side BRDF sampling (:523-594) ----
-        u_sel2 = jax.random.uniform(k_b2s, (n,))
-        u_b2 = jax.random.uniform(k_b2l, (n, 2))
+        u_sel2 = pdraw(s, 3)
+        u_b2 = pdraw(s, 4, 2)
         rec_kd = jnp.broadcast_to(rec["kd"], (n, 3))
         rec_ks = jnp.broadcast_to(rec["ks"], (n, 3))
         rec_n = jnp.broadcast_to(rec["normal"], (n, 3))
@@ -171,12 +181,17 @@ def _vsl_record(scene, gbuf, rec, key, vsl_radius, vsl_inv_pi_r2, wi10):
 
 @partial(jax.jit, static_argnames=("num_vsl_paths",))
 def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
-               vsl_radius, num_vsl_paths: int) -> jnp.ndarray:
-    """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722)."""
+               vsl_radius, num_vsl_paths: int,
+               pixel_offset=0) -> jnp.ndarray:
+    """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722).
+
+    pixel_offset: global id of gbuf's first pixel (row-sharded runs)."""
     flat = pm.slice_paths(num_vsl_paths).flat()
     cam = jnp.asarray(scene.camera.origin, jnp.float32)
     wi10 = mu.normalize(cam[None, :] - gbuf.position)
     vsl_inv_pi_r2 = mu.INV_PI / (vsl_radius * vsl_radius)
+    pixel_ids = pixel_offset + jnp.arange(gbuf.position.shape[0],
+                                          dtype=jnp.int32)
 
     records = {
         "pos": flat.pos, "normal": flat.normal, "flux": flat.flux,
@@ -187,7 +202,9 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
     def step(carry, xs):
         acc, i = carry
         rec = xs
-        contrib = _vsl_record(scene, gbuf, rec, jax.random.fold_in(key, i),
+        pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.fold_in(key, i), pixel_ids)
+        contrib = _vsl_record(scene, gbuf, rec, pkeys,
                               vsl_radius, vsl_inv_pi_r2, wi10)
         return (acc + contrib, i + 1), None
 

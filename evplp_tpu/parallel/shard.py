@@ -4,18 +4,25 @@ The reference is strictly single-GPU (SURVEY.md §2.4); its only "transport"
 is GL<->OptiX interop.  The TPU design shards the two big axes the renderer
 actually has:
 
-  * film rows  -> data-parallel shards over the mesh axis "px",
-  * light paths -> one block per device; VPL gather and photon splat see
-    every block by rotating blocks around the ring with lax.ppermute
-    (the ring-attention/blockwise pattern applied to the dense
-    pixels x light-vertices interaction: pixels stay put, light blocks
-    ride the ICI ring),
+  * film rows   -> data-parallel shards over the mesh axis "px",
+  * light paths -> one block per device.  The photon splat (which consumes
+    ALL paths) sees every block by rotating blocks around the ring with
+    lax.ppermute — the ring-attention/blockwise pattern applied to the dense
+    pixels x light-vertices interaction: pixels stay put, light blocks ride
+    the ICI ring.
+  * the VPL/VSL gather reads only the FIRST numVplLightPaths paths of the
+    global pool (rtcomphoton.h:857-868) — a tiny working set (30/100 paths),
+    so every device traces it locally instead of shipping block 0 around.
+  * LVC needs random access into the whole pool (per-pixel windows,
+    lvclighttracing.cu:366-384), so the pool is all_gathered — ~100 MB at
+    reference scale, one ICI collective, then the gather is local.
   * framebuffers never need a psum: each device only ever shades its own
-    rows; the ring delivers all remote photons to them.
+    rows; the ring/all_gather deliver all remote light vertices to them.
 
-RNG is block-indexed (fold_in by block id == ring position), so the traced
-light paths are the same set regardless of device count — the basis for the
-shard-invariance tests.
+Light-path RNG is counter-based per GLOBAL path id (light_trace.py), so the
+union of the per-device blocks IS the single-device path set: the sharded
+frame computes bit-for-the-same estimator as photon_fam_frame, which the
+shard tests assert directly against the single-device output.
 """
 from __future__ import annotations
 
@@ -24,8 +31,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
+from evplp_tpu.integrators.gbuffer import (light_image, trace_gbuffer,
+                                           zero_gbuffer)
 from evplp_tpu.integrators.light_trace import trace_light_paths
+from evplp_tpu.integrators.lvc import lvc_offsets, lvc_gather
 from evplp_tpu.integrators.photon_fam import FrameState, PhotonFamConfig
 from evplp_tpu.integrators.photon_splat import photon_splat_tiled
 from evplp_tpu.integrators.pt import render_pt_frame
@@ -52,24 +61,24 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
                              mesh: Mesh, state: FrameState, key,
                              radius, clamping_value, pdf_mc,
                              vsl_radius=0.0):
-    """One EVPLP frame over the mesh. state buffers are sharded on rows.
+    """One EVPLP/LVC frame over the mesh; equals the single-device
+    photon_fam_frame output (same estimator, same RNG streams).
 
-    cfg.num_light_paths / num_vpl_light_paths are GLOBAL counts; each device
-    traces one block of paths (block id == its ring position) and blocks
-    rotate so every pixel shard integrates over every block.
+    state buffers are sharded on rows.  cfg.num_light_paths is the GLOBAL
+    count; each device traces one block of paths (per-path-id RNG keeps the
+    global set device-count invariant).
     """
     n = mesh.devices.size
     rows = _local_rows(cfg.height, n)
     assert cfg.num_light_paths % n == 0, \
         f"numLightPaths {cfg.num_light_paths} must divide device count {n}"
     paths_blk = cfg.num_light_paths // n
-    if cfg.num_vpl_light_paths:
-        assert cfg.num_vpl_light_paths % n == 0, \
-            f"numVplLightPaths {cfg.num_vpl_light_paths} must divide {n}"
-    vpl_blk = cfg.num_vpl_light_paths // n
+    n_vpl = cfg.num_vpl_light_paths
+    assert n_vpl <= cfg.num_light_paths
 
     def frame(state, key, radius, clamping_value, pdf_mc, vsl_radius):
         d = jax.lax.axis_index(AXIS)
+        n_local = rows * cfg.width
 
         if cfg.use_jitter:
             u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
@@ -78,45 +87,66 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
         else:
             jitter = None
 
-        gbuf = trace_gbuffer(scene, cfg.width, cfg.height, jitter,
-                             row_start=d * rows, row_count=rows)
+        if cfg.do_deferred:
+            gbuf = trace_gbuffer(scene, cfg.width, cfg.height, jitter,
+                                 row_start=d * rows, row_count=rows)
+        else:
+            gbuf = zero_gbuffer(n_local)
 
-        # trace the local block; RNG indexed by BLOCK id (device-count
-        # invariant set of light paths)
-        pm = trace_light_paths(scene, jax.random.fold_in(
-            jax.random.fold_in(key, 1), d), paths_blk, cfg.num_records)
-
-        vpl_img = jnp.zeros((rows * cfg.width, 3), jnp.float32)
-        photon_img = jnp.zeros((rows * cfg.width, 3), jnp.float32)
+        vpl_img = jnp.zeros((n_local, 3), jnp.float32)
+        photon_img = jnp.zeros((n_local, 3), jnp.float32)
         dropped = jnp.zeros((), jnp.int32)
 
-        block = pm
-        for step in range(n):
-            if cfg.do_vpl and vpl_blk:
-                if cfg.force_vsl:
-                    img = vsl_gather(
-                        scene, gbuf, block,
-                        jax.random.fold_in(jax.random.fold_in(key, 2), step),
-                        vsl_radius, vpl_blk)
+        if cfg.do_light_tracing:
+            key_lt = jax.random.fold_in(key, 1)
+            # local block of the global path pool
+            pm = trace_light_paths(scene, key_lt, paths_blk, cfg.num_records,
+                                   path_offset=d * paths_blk)
+
+            if cfg.do_vpl and n_vpl:
+                if cfg.lvc:
+                    # whole-pool random access: gather the ring into a full
+                    # local pool, then the standard per-pixel-window gather
+                    pm_full = jax.tree.map(
+                        lambda x: jax.lax.all_gather(x, AXIS, tiled=True), pm)
+                    off = jax.lax.dynamic_slice(
+                        lvc_offsets(jax.random.fold_in(key, 3),
+                                    cfg.width * cfg.height,
+                                    cfg.num_light_paths),
+                        (d * n_local,), (n_local,))
+                    vpl_img = lvc_gather(
+                        scene, gbuf, pm_full, jax.random.fold_in(key, 3),
+                        cfg.mis_mode, pdf_mc, clamping_value, n_vpl,
+                        offsets=off)
+                elif cfg.force_vsl:
+                    pm_vpl = trace_light_paths(scene, key_lt, n_vpl,
+                                               cfg.num_records, path_offset=0)
+                    vpl_img = vsl_gather(scene, gbuf, pm_vpl,
+                                         jax.random.fold_in(key, 2),
+                                         vsl_radius, n_vpl,
+                                         pixel_offset=d * n_local)
                 else:
-                    img = vpl_gather(
-                        scene, gbuf, block, cfg.mis_mode, pdf_mc,
-                        clamping_value, vpl_blk)
-                vpl_img = vpl_img + img * (vpl_blk / cfg.num_vpl_light_paths)
+                    pm_vpl = trace_light_paths(scene, key_lt, n_vpl,
+                                               cfg.num_records, path_offset=0)
+                    vpl_img = vpl_gather(scene, gbuf, pm_vpl, cfg.mis_mode,
+                                         pdf_mc, clamping_value, n_vpl)
+
             if cfg.do_photon:
-                img, drop = photon_splat_tiled(
-                    scene, gbuf, block, radius, cfg.mis_mode, pdf_mc,
-                    clamping_value, 1.0 / cfg.num_light_paths,
-                    cfg.width, rows, jitter,
-                    tile=cfg.splat_tile, cap=cfg.splat_cap,
-                    span=cfg.splat_span,
-                    row_offset=jnp.float32(d * rows),
-                    full_height=cfg.height)
-                photon_img = photon_img + img
-                dropped = dropped + drop.astype(jnp.int32)
-            if step != n - 1:
-                perm = [(i, (i + 1) % n) for i in range(n)]
-                block = jax.lax.ppermute(block, AXIS, perm)
+                block = pm
+                for step in range(n):
+                    img, drop = photon_splat_tiled(
+                        scene, gbuf, block, radius, cfg.mis_mode, pdf_mc,
+                        clamping_value, 1.0 / cfg.num_light_paths,
+                        cfg.width, rows, jitter,
+                        tile=cfg.splat_tile, cap=cfg.splat_cap,
+                        span=cfg.splat_span,
+                        row_offset=jnp.float32(d * rows),
+                        full_height=cfg.height)
+                    photon_img = photon_img + img
+                    dropped = dropped + drop.astype(jnp.int32)
+                    if step != n - 1:
+                        perm = [(i, (i + 1) % n) for i in range(n)]
+                        block = jax.lax.ppermute(block, AXIS, perm)
 
         light_img = light_image(scene, gbuf) if cfg.do_light_render \
             else state.light_img

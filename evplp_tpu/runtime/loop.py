@@ -80,22 +80,25 @@ class ProgressiveSchedule:
 
 
 def run_photon_fam(job: RenderJob, output_dir: str | None = None,
-                   splat_tile: int = 16, splat_cap: int = 384,
+                   splat_tile: int = 16, splat_cap: int = 65536,
                    splat_span: int = 2, max_wall_s: float | None = None,
                    progress_every: int = 20,
                    checkpoint_path: str | None = None,
                    checkpoint_every: int | None = None,
                    resume_from: str | None = None,
                    profile: bool | None = None,
-                   mesh=None) -> RunResult:
+                   mesh=None, display_gamma: bool = False) -> RunResult:
     """Full photonfam / lvcphotonfam run following the reference driver.
 
     checkpoint_path/_every + resume_from: progressive-state checkpointing
     (runtime.checkpoint) — an addition over the reference, which has none.
     profile: per-pass device timing into RunResult.stats["passes"].
+    display_gamma: apply the final.frag display transform (pow 1/2.2,
+    final.frag:27-30) to saved outputs — the reference uses it only for the
+    on-screen composite and dumps linear images (rtcomphoton.h:1121-1132).
     mesh: optional jax.sharding.Mesh — runs the frame pixel-sharded with
-    ring-rotated light blocks (parallel/shard.py). VSL/LVC variants are
-    single-device only for now.
+    ring-rotated light blocks (parallel/shard.py); all variants (VPL, VSL,
+    LVC, PM) supported, same estimator as the single-device run.
     """
     from evplp_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
     from evplp_tpu.runtime.profiling import PassTimer
@@ -126,7 +129,9 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         mis_mode=p.mis_mode,
         accumulate=(p.frame_mode == "accumulate"),
         use_jitter=p.use_jitter,
+        do_deferred=p.run_passes["deferredShading"],
         do_light_tracing=p.run_passes["lightTracing"],
+        do_finalize=p.run_passes["finalize"],
         do_vpl=p.run_passes["vplSplat"],
         do_photon=p.run_passes["photonSplat"],
         do_light_render=p.run_passes["lightRender"],
@@ -138,10 +143,6 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
     if mesh is not None:
         from evplp_tpu.parallel.shard import (
             shard_state, sharded_photon_fam_frame)
-        if cfg.lvc:
-            raise NotImplementedError(
-                "lvcphotonfam runs single-device (per-pixel random path "
-                "selection reads the whole pool)")
 
     state = init_state(cfg)
     iters = 0
@@ -217,7 +218,7 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
 
     jax.block_until_ready(state.vpl_acc)
     time_ms = elapsed_ms()
-    imgs = finalize(state, cfg, iters, job)
+    imgs = finalize(state, cfg, iters, job, gamma=display_gamma)
 
     for name, fname in (("combined", p.combined_filename),
                         ("weighted_vpl", p.weighted_vpl_filename),
@@ -238,22 +239,33 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
 
 
 def finalize(state: FrameState, cfg: PhotonFamConfig, iters: int,
-             job: RenderJob) -> dict:
-    """The three-way output split (rtcomphoton.h:1121-1132)."""
+             job: RenderJob, gamma: bool = False) -> dict:
+    """The three-way output split (rtcomphoton.h:1121-1132).
+
+    Dumps always re-run the final program — run.finalize gates only the
+    reference's on-screen composite (rtcomphoton.h:997-1004 vs :1084), so
+    it does not affect these outputs.  gamma: display transform, off for
+    reference-parity linear dumps.
+    """
     param = 1.0 if not cfg.accumulate else 1.0 / max(iters, 1)
     light = film.to_image(state.light_img, job.width, job.height)
     vpl = film.to_image(state.vpl_acc, job.width, job.height) * param
     photon = film.to_image(state.photon_acc, job.width, job.height) * param
-    return {
+    out = {
         "combined": light + vpl + photon,
         "weighted_vpl": light + vpl,
         "weighted_photon": photon,
         "light": light,
     }
+    if gamma:
+        for k in ("combined", "weighted_vpl", "weighted_photon"):
+            out[k] = np.power(np.maximum(out[k], 0.0), 1.0 / 2.2)
+    return out
 
 
 def run_pt(job: RenderJob, output_dir: str | None = None,
-           max_wall_s: float | None = None) -> RunResult:
+           max_wall_s: float | None = None,
+           display_gamma: bool = False) -> RunResult:
     """Path-tracing run (reference driver: rtpt/rtpt2.h:575-670)."""
     p = job.params
     scene = job.scene
@@ -307,7 +319,8 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
 
     param = 1.0 / max(iters, 1) if accumulate else 1.0
     final = film.composite(acc, jnp.zeros_like(acc), light,
-                           vpl_scale=param, photon_scale=0.0, light_scale=1.0)
+                           vpl_scale=param, photon_scale=0.0, light_scale=1.0,
+                           gamma=display_gamma)
     imgs = {
         "output": film.to_image(final, job.width, job.height),
         "pt": film.to_image(acc * param, job.width, job.height),

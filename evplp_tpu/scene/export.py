@@ -1,7 +1,16 @@
-"""Scene export helpers: write procedural scenes as OBJ/MTL + JSON configs
-in the reference's exact on-disk format, so the full
+"""Scene export: write procedural scenes as OBJ/MTL + JSON configs in the
+reference's exact on-disk format, so the full
 config -> OBJ loader -> renderer pipeline is exercisable without the
-reference's git-LFS assets."""
+reference's git-LFS assets.
+
+`write_reference_matrix` generates the shipped `configs/` tree: the
+reference's 10 technique variants per scene (pt/pm/vpl/vsl/ours, each with a
+_progressive twin) with the parameters of the reference's own config files
+(scene/conference/conference_*.json: 300k light paths, 30 VPL paths, 15 s
+equal-time, 1280x720).
+
+Regenerate with:  python -m evplp_tpu.scene.export [out_dir]
+"""
 from __future__ import annotations
 
 import json
@@ -17,17 +26,16 @@ def _write_obj(path: str, groups, mtl_name: str):
         offset = 1
         for name, pos, idx in groups:
             f.write(f"o {name}\n")
-            for v in pos:
-                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            np.savetxt(f, np.asarray(pos, np.float64), fmt="v %.6f %.6f %.6f")
             f.write(f"usemtl {name}\n")
-            for t in idx:
-                f.write(f"f {t[0]+offset} {t[1]+offset} {t[2]+offset}\n")
+            np.savetxt(f, np.asarray(idx, np.int64) + offset,
+                       fmt="f %d %d %d")
             offset += len(pos)
 
 
 def _write_mtl(path: str, mats):
-    """mats: list of (name, kd, ks, ns_file) — ns written PRE-division
-    (the loader divides by 4 like Assimp)."""
+    """mats: list of (name, kd, ks, ns) — ns written PRE-division
+    (the loader divides by 4 like Assimp, rtcommon.h:55-64)."""
     with open(path, "w") as f:
         for name, kd, ks, ns in mats:
             f.write(f"newmtl {name}\n")
@@ -36,68 +44,148 @@ def _write_mtl(path: str, mats):
             f.write(f"Ns {ns * 4.0}\n\n")
 
 
+def write_spec_obj(out_dir: str, name: str, spec: dict):
+    """Write a procedural spec (scene/procedural.py) as <name>.obj/.mtl +
+    <name>_lights.obj/.mtl; returns the two OBJ paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    groups = [(g[0], g[1], g[2]) for g in spec["groups"]]
+    mats = [(g[0], g[3], g[4], g[5]) for g in spec["groups"]]
+
+    obj = os.path.join(out_dir, f"{name}.obj")
+    _write_obj(obj, groups, f"{name}.mtl")
+    _write_mtl(os.path.join(out_dir, f"{name}.mtl"), mats)
+
+    lpos, lidx = spec["light"]
+    lobj = os.path.join(out_dir, f"{name}_lights.obj")
+    _write_obj(lobj, [("light", np.asarray(lpos), np.asarray(lidx))],
+               f"{name}_lights.mtl")
+    _write_mtl(os.path.join(out_dir, f"{name}_lights.mtl"),
+               [("light", (0, 0, 0), (0, 0, 0), 0.0)])
+    return obj, lobj
+
+
+def write_spec_config(out_dir: str, scene_name: str, spec: dict,
+                      technique: str, block: dict, cfg_name: str,
+                      res_x: int, res_y: int,
+                      write_objs: bool = True) -> str:
+    """Write a reference-format JSON config (+ the scene OBJs once)."""
+    if write_objs:
+        write_spec_obj(out_dir, scene_name, spec)
+    cfg = {
+        "resX": res_x,
+        "resY": res_y,
+        "scene": [f"{scene_name}.obj"],
+        "arealight": {"obj": f"{scene_name}_lights.obj",
+                      "intensity": list(spec["intensity"])},
+        "camera": dict(spec["camera"]),
+        technique: block,
+    }
+    path = os.path.join(out_dir, f"{cfg_name}.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f, indent=2)
+    return path
+
+
+def technique_block(variant: str, scene: str, progressive: bool,
+                    time_limit_ms: float = 15000.0) -> tuple[str, dict]:
+    """The reference's per-variant technique blocks, parameters verbatim
+    from scene/conference/conference_<variant>[_progressive].json."""
+    suffix = "_progressive" if progressive else ""
+    out = f"out/{scene}_{variant}{suffix}"
+    common = {
+        "rngOffset": 0,
+        "numMaxIteration": -1,
+        "timeLimitMs": time_limit_ms,
+        "frameMode": "accumulate",
+        "statFilename": f"{out}_stat.json",
+        "useJitter": True,
+        "useStat": True,
+        "numMaxBounces": 3,
+        "DoProgressive": progressive,
+        "AlphaProgressive": 0.7,
+    }
+    if variant == "pt":
+        return "pt", {**common,
+                      "outputFilename": f"{out}.pfm",
+                      "numSamplePerPixel": 1}
+    pf = {**common,
+          "combinedFilename": f"{out}.pfm",
+          "weightedPhotonFilename": f"{out}_weightedpm.pfm",
+          "weightedVplFilename": f"{out}_weightedvpl.pfm"}
+    if variant == "pm":
+        pf.update(renderMode="pm", misMode="one", numLightPaths=300000,
+                  numVplLightPaths=0, radiusPercentage=0.003)
+    elif variant == "vpl":
+        pf.update(renderMode="vpl", misMode="one", numLightPaths=30,
+                  numVplLightPaths=30, radiusPercentage=0.0,
+                  clampingCoeff=1.0)
+    elif variant == "vsl":
+        pf.update(forceVsl=True, vslRadiusPercentage=0.05, renderMode="vpl",
+                  misMode="one", numLightPaths=100, numVplLightPaths=100,
+                  radiusPercentage=0.0)
+    elif variant == "ours":
+        pf.update(renderMode="vplpm", numLightPaths=300000,
+                  numVplLightPaths=30, radiusPercentage=0.003)
+    else:
+        raise ValueError(f"unknown variant {variant}")
+    return "photonfam", pf
+
+
+VARIANTS = ("pt", "pm", "vpl", "vsl", "ours")
+
+
+def write_reference_matrix(out_dir: str, res=(1280, 720),
+                           time_limit_ms: float = 15000.0) -> list[str]:
+    """The shipped configs/ tree: 3 scenes x 10 variants, reference
+    protocol parameters."""
+    from evplp_tpu.scene.procedural import (box_field_spec, cornell_spec,
+                                            glossy_spec)
+    specs = {
+        "cornell": cornell_spec(),
+        "glossy": glossy_spec(),
+        "box_field": box_field_spec(),
+    }
+    paths = []
+    for scene, spec in specs.items():
+        scene_dir = os.path.join(out_dir, scene)
+        first = True
+        for variant in VARIANTS:
+            for progressive in (False, True):
+                suffix = "_progressive" if progressive else ""
+                tech, block = technique_block(variant, scene, progressive,
+                                              time_limit_ms)
+                paths.append(write_spec_config(
+                    scene_dir, scene, spec, tech, block,
+                    f"{scene}_{variant}{suffix}", res[0], res[1],
+                    write_objs=first))
+                first = False
+    return paths
+
+
+# ---- back-compat helpers used by tests -------------------------------------
+
 def write_cornell_obj(out_dir: str, glossy_exponent: float = 30.0):
     """Write the procedural Cornell box as cornell.obj/.mtl +
     cornell_lights.obj/.mtl; returns the two OBJ paths."""
-    from evplp_tpu.scene.procedural import _box, _quad
-
-    os.makedirs(out_dir, exist_ok=True)
-    room = [
-        ("floor", ([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]), (0.73, 0.73, 0.73)),
-        ("ceiling", ([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]), (0.73, 0.73, 0.73)),
-        ("back", ([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]), (0.73, 0.73, 0.73)),
-        ("left", ([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]), (0.65, 0.05, 0.05)),
-        ("right", ([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]), (0.12, 0.45, 0.15)),
-    ]
-    groups, mats = [], []
-    for name, quad, kd in room:
-        pos, idx = _quad(*quad)
-        groups.append((name, pos, idx))
-        mats.append((name, kd, (0, 0, 0), 0.0))
-
-    pos, idx = _box([0.10, 0.0, 0.10], [0.40, 0.60, 0.40])
-    groups.append(("tallblock", pos, idx))
-    mats.append(("tallblock", (0.05, 0.05, 0.05), (0.45, 0.45, 0.45),
-                 glossy_exponent))
-    pos, idx = _box([0.55, 0.0, 0.45], [0.85, 0.30, 0.75])
-    groups.append(("shortblock", pos, idx))
-    mats.append(("shortblock", (0.73, 0.73, 0.73), (0, 0, 0), 0.0))
-
-    obj = os.path.join(out_dir, "cornell.obj")
-    _write_obj(obj, groups, "cornell.mtl")
-    _write_mtl(os.path.join(out_dir, "cornell.mtl"), mats)
-
-    ly = 0.995
-    lpos, lidx = _quad([0.35, ly, 0.35], [0.65, ly, 0.35],
-                       [0.65, ly, 0.65], [0.35, ly, 0.65])
-    lobj = os.path.join(out_dir, "cornell_lights.obj")
-    _write_obj(lobj, [("light", np.asarray(lpos), np.asarray(lidx))],
-               "cornell_lights.mtl")
-    _write_mtl(os.path.join(out_dir, "cornell_lights.mtl"),
-               [("light", (0, 0, 0), (0, 0, 0), 0.0)])
-    return obj, lobj
+    from evplp_tpu.scene.procedural import cornell_spec
+    return write_spec_obj(out_dir, "cornell",
+                          cornell_spec(glossy_exponent=glossy_exponent))
 
 
 def write_cornell_config(out_dir: str, technique_block: dict, technique: str,
                          res: int = 64, intensity=(12.0, 12.0, 12.0, 0.0),
                          name: str = "cornell") -> str:
     """Write a reference-format JSON config next to the cornell OBJs."""
-    write_cornell_obj(out_dir)
-    cfg = {
-        "resX": res,
-        "resY": res,
-        "scene": ["cornell.obj"],
-        "arealight": {"obj": "cornell_lights.obj",
-                      "intensity": list(intensity)},
-        "camera": {
-            "origin": [0.5, 0.5, 2.6],
-            "direction": [0.5, 0.5, 0.0],
-            "up": [0.0, 1.0, 0.0],
-            "fovy": 28.0,
-        },
-        technique: technique_block,
-    }
-    path = os.path.join(out_dir, f"{name}.json")
-    with open(path, "w") as f:
-        json.dump(cfg, f, indent=2)
-    return path
+    from evplp_tpu.scene.procedural import cornell_spec
+    spec = cornell_spec(light_intensity=intensity)
+    return write_spec_config(out_dir, "cornell", spec, technique,
+                             technique_block, name, res, res)
+
+
+if __name__ == "__main__":
+    import sys
+    target = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "configs")
+    for p in write_reference_matrix(target):
+        print(p)

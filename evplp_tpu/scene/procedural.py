@@ -4,6 +4,10 @@ The reference ships three OBJ scenes (conference, livingroom, buddha) as
 git-LFS stubs, so tests and benchmarks use procedural geometry with the same
 material model: Cornell-style boxes with Lambert walls, a Phong-glossy block,
 and a rectangular ceiling area light.
+
+Each scene is defined once as a *spec* (named material groups + light quad +
+camera); `_build` turns a spec into a SceneData and scene/export.py writes
+the identical spec as reference-format OBJ/MTL + JSON configs (configs/).
 """
 from __future__ import annotations
 
@@ -42,71 +46,71 @@ def _box(lo, hi):
     return np.concatenate(pos_list), np.concatenate(idx_list)
 
 
-def cornell_box(light_intensity=(12.0, 12.0, 12.0, 0.0),
-                glossy_exponent: float = 30.0) -> SceneData:
+def _build(spec, aspect: float = 1.0) -> SceneData:
+    """SceneData from a spec dict (groups, light, intensity, camera)."""
+    cam = spec["camera"]
+    camera = Camera(
+        origin=tuple(cam["origin"]), look_at=tuple(cam["direction"]),
+        up=tuple(cam["up"]), fovy=np.radians(cam["fovy"]), aspect=aspect,
+    )
+    groups = spec["groups"]
+    lpos, lidx = spec["light"]
+    return build_scene(
+        positions_list=[g[1] for g in groups],
+        indices_list=[g[2] for g in groups],
+        kd_list=[np.asarray(g[3], np.float32) for g in groups],
+        ks_list=[np.asarray(g[4], np.float32) for g in groups],
+        ns_list=[g[5] for g in groups],
+        light_positions=lpos, light_indices=lidx,
+        light_intensity=np.asarray(spec["intensity"], np.float32),
+        camera=camera,
+    )
+
+
+def cornell_spec(light_intensity=(12.0, 12.0, 12.0, 0.0),
+                 glossy_exponent: float = 30.0) -> dict:
     """Cornell-style box in [0,1]^3, camera on +z looking in.
 
     Walls Lambert (white/red/green); tall block glossy Phong; short block
     Lambert; area light slightly below the ceiling.
     """
-    meshes_pos, meshes_idx, kds, kss, nss = [], [], [], [], []
+    groups = []
 
     # room: floor, ceiling, back, left(red), right(green) — inward normals
     room_quads = [
-        (([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]), (0.73, 0.73, 0.73)),   # floor +y
-        (([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]), (0.73, 0.73, 0.73)),   # ceiling -y
-        (([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]), (0.73, 0.73, 0.73)),   # back +z
-        (([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]), (0.65, 0.05, 0.05)),   # left +x
-        (([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]), (0.12, 0.45, 0.15)),   # right -x
+        ("floor", ([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]), (0.73, 0.73, 0.73)),
+        ("ceiling", ([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]), (0.73, 0.73, 0.73)),
+        ("back", ([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]), (0.73, 0.73, 0.73)),
+        ("left", ([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]), (0.65, 0.05, 0.05)),
+        ("right", ([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]), (0.12, 0.45, 0.15)),
     ]
-    for quad, kd in room_quads:
+    for name, quad, kd in room_quads:
         pos, idx = _quad(*quad)
-        meshes_pos.append(pos)
-        meshes_idx.append(idx)
-        kds.append(np.asarray(kd, np.float32))
-        kss.append(np.zeros(3, np.float32))
-        nss.append(0.0)
+        groups.append((name, pos, idx, kd, (0.0, 0.0, 0.0), 0.0))
 
-    # tall glossy block
     pos, idx = _box([0.10, 0.0, 0.10], [0.40, 0.60, 0.40])
-    meshes_pos.append(pos)
-    meshes_idx.append(idx)
-    kds.append(np.asarray([0.05, 0.05, 0.05], np.float32))
-    kss.append(np.asarray([0.45, 0.45, 0.45], np.float32))
-    nss.append(glossy_exponent)
-
-    # short diffuse block
+    groups.append(("tallblock", pos, idx, (0.05, 0.05, 0.05),
+                   (0.45, 0.45, 0.45), glossy_exponent))
     pos, idx = _box([0.55, 0.0, 0.45], [0.85, 0.30, 0.75])
-    meshes_pos.append(pos)
-    meshes_idx.append(idx)
-    kds.append(np.asarray([0.73, 0.73, 0.73], np.float32))
-    kss.append(np.zeros(3, np.float32))
-    nss.append(0.0)
+    groups.append(("shortblock", pos, idx, (0.73, 0.73, 0.73),
+                   (0.0, 0.0, 0.0), 0.0))
 
-    # ceiling light (downward facing quad slightly below ceiling)
     ly = 0.995
-    lpos, lidx = _quad([0.35, ly, 0.35], [0.65, ly, 0.35],
-                       [0.65, ly, 0.65], [0.35, ly, 0.65])  # faces -y (down)
-
-    camera = Camera(
-        origin=(0.5, 0.5, 2.6),
-        look_at=(0.5, 0.5, 0.0),
-        up=(0.0, 1.0, 0.0),
-        fovy=np.radians(28.0),
-        aspect=1.0,
-    )
-    return build_scene(
-        positions_list=meshes_pos,
-        indices_list=meshes_idx,
-        kd_list=kds, ks_list=kss, ns_list=nss,
-        light_positions=lpos, light_indices=lidx,
-        light_intensity=np.asarray(light_intensity, np.float32),
-        camera=camera,
-    )
+    light = _quad([0.35, ly, 0.35], [0.65, ly, 0.35],
+                  [0.65, ly, 0.65], [0.35, ly, 0.65])  # faces -y (down)
+    camera = dict(origin=[0.5, 0.5, 2.6], direction=[0.5, 0.5, 0.0],
+                  up=[0.0, 1.0, 0.0], fovy=28.0)
+    return dict(groups=groups, light=light,
+                intensity=tuple(light_intensity), camera=camera)
 
 
-def glossy_box(light_intensity=(200.0, 190.0, 160.0, 0.0),
-               floor_exponent: float = 80.0) -> SceneData:
+def cornell_box(light_intensity=(12.0, 12.0, 12.0, 0.0),
+                glossy_exponent: float = 30.0) -> SceneData:
+    return _build(cornell_spec(light_intensity, glossy_exponent))
+
+
+def glossy_spec(light_intensity=(200.0, 190.0, 160.0, 0.0),
+                floor_exponent: float = 80.0) -> dict:
     """EVPLP stress scene: glossy floor + blocker + a SMALL bright light.
 
     Unclamped VPL fireflies hard here (near-singular G terms under the
@@ -114,74 +118,58 @@ def glossy_box(light_intensity=(200.0, 190.0, 160.0, 0.0),
     photon-splat compensation restores it — the paper's core trade
     (rtcomphoton.h misModes 4/5 + photonsplatinstanced.frag residuals).
     """
-    meshes_pos, meshes_idx, kds, kss, nss = [], [], [], [], []
-
+    groups = []
     room_quads = [
-        (([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]),   # glossy floor
+        ("floor", ([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]),
          (0.05, 0.05, 0.05), (0.5, 0.5, 0.5), floor_exponent),
-        (([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]),
+        ("ceiling", ([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]),
          (0.73, 0.73, 0.73), (0, 0, 0), 0.0),
-        (([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]),
+        ("back", ([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]),
          (0.73, 0.73, 0.73), (0, 0, 0), 0.0),
-        (([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]),
+        ("left", ([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]),
          (0.65, 0.05, 0.05), (0, 0, 0), 0.0),
-        (([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]),
+        ("right", ([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]),
          (0.12, 0.45, 0.15), (0, 0, 0), 0.0),
     ]
-    for quad, kd, ks, ns in room_quads:
+    for name, quad, kd, ks, ns in room_quads:
         pos, idx = _quad(*quad)
-        meshes_pos.append(pos)
-        meshes_idx.append(idx)
-        kds.append(np.asarray(kd, np.float32))
-        kss.append(np.asarray(ks, np.float32))
-        nss.append(ns)
+        groups.append((name, pos, idx, kd, ks, ns))
 
     # low shelf close under the light: creates near-singular VPL geometry
     pos, idx = _box([0.30, 0.0, 0.30], [0.70, 0.08, 0.70])
-    meshes_pos.append(pos)
-    meshes_idx.append(idx)
-    kds.append(np.asarray([0.6, 0.6, 0.6], np.float32))
-    kss.append(np.zeros(3, np.float32))
-    nss.append(0.0)
+    groups.append(("shelf", pos, idx, (0.6, 0.6, 0.6), (0.0, 0.0, 0.0), 0.0))
 
     ly = 0.12  # light close above the shelf
-    lpos, lidx = _quad([0.46, ly, 0.46], [0.54, ly, 0.46],
-                       [0.54, ly, 0.54], [0.46, ly, 0.54])  # faces -y
-    camera = Camera(
-        origin=(0.5, 0.55, 2.6), look_at=(0.5, 0.35, 0.0), up=(0, 1, 0),
-        fovy=np.radians(28.0), aspect=1.0,
-    )
-    return build_scene(
-        positions_list=meshes_pos, indices_list=meshes_idx,
-        kd_list=kds, ks_list=kss, ns_list=nss,
-        light_positions=lpos, light_indices=lidx,
-        light_intensity=np.asarray(light_intensity, np.float32),
-        camera=camera,
-    )
+    light = _quad([0.46, ly, 0.46], [0.54, ly, 0.46],
+                  [0.54, ly, 0.54], [0.46, ly, 0.54])  # faces -y
+    camera = dict(origin=[0.5, 0.55, 2.6], direction=[0.5, 0.35, 0.0],
+                  up=[0.0, 1.0, 0.0], fovy=28.0)
+    return dict(groups=groups, light=light,
+                intensity=tuple(light_intensity), camera=camera)
 
 
-def box_field(num_boxes: int = 2000, seed: int = 0,
-              light_intensity=(40.0, 38.0, 30.0, 0.0)) -> SceneData:
+def glossy_box(light_intensity=(200.0, 190.0, 160.0, 0.0),
+               floor_exponent: float = 80.0) -> SceneData:
+    return _build(glossy_spec(light_intensity, floor_exponent))
+
+
+def box_field_spec(num_boxes: int = 2000, seed: int = 0,
+                   light_intensity=(40.0, 38.0, 30.0, 0.0)) -> dict:
     """Large scene for BVH-path benchmarking: a field of random boxes
     (~12*num_boxes triangles) in a Cornell-style room with a ceiling light."""
     rng = np.random.default_rng(seed)
-    meshes_pos, meshes_idx, kds, kss, nss = [], [], [], [], []
+    groups = []
 
-    # room shell (reuse the cornell walls scaled to [0,4]^2 x [0,2])
     room_quads = [
-        ([0, 0, 0], [0, 0, 4], [4, 0, 4], [4, 0, 0]),   # floor +y
-        ([0, 2, 0], [4, 2, 0], [4, 2, 4], [0, 2, 4]),   # ceiling -y
-        ([0, 0, 0], [4, 0, 0], [4, 2, 0], [0, 2, 0]),   # back +z
-        ([0, 0, 0], [0, 2, 0], [0, 2, 4], [0, 0, 4]),   # left +x
-        ([4, 0, 0], [4, 0, 4], [4, 2, 4], [4, 2, 0]),   # right -x
+        ("floor", ([0, 0, 0], [0, 0, 4], [4, 0, 4], [4, 0, 0])),
+        ("ceiling", ([0, 2, 0], [4, 2, 0], [4, 2, 4], [0, 2, 4])),
+        ("back", ([0, 0, 0], [4, 0, 0], [4, 2, 0], [0, 2, 0])),
+        ("left", ([0, 0, 0], [0, 2, 0], [0, 2, 4], [0, 0, 4])),
+        ("right", ([4, 0, 0], [4, 0, 4], [4, 2, 4], [4, 2, 0])),
     ]
-    for quad in room_quads:
+    for name, quad in room_quads:
         pos, idx = _quad(*quad)
-        meshes_pos.append(pos)
-        meshes_idx.append(idx)
-        kds.append(np.asarray([0.7, 0.7, 0.7], np.float32))
-        kss.append(np.zeros(3, np.float32))
-        nss.append(0.0)
+        groups.append((name, pos, idx, (0.7, 0.7, 0.7), (0.0, 0.0, 0.0), 0.0))
 
     centers = rng.uniform([0.2, 0.0, 0.2], [3.8, 1.0, 3.8], (num_boxes, 3))
     sizes = rng.uniform(0.02, 0.08, (num_boxes, 3))
@@ -192,26 +180,22 @@ def box_field(num_boxes: int = 2000, seed: int = 0,
         pos_list.append(pos)
         idx_list.append(idx + off)
         off += pos.shape[0]
-    meshes_pos.append(np.concatenate(pos_list))
-    meshes_idx.append(np.concatenate(idx_list))
-    kds.append(np.asarray([0.4, 0.45, 0.6], np.float32))
-    kss.append(np.asarray([0.2, 0.2, 0.2], np.float32))
-    nss.append(15.0)
+    groups.append(("boxes", np.concatenate(pos_list),
+                   np.concatenate(idx_list),
+                   (0.4, 0.45, 0.6), (0.2, 0.2, 0.2), 15.0))
 
     ly = 1.99
-    lpos, lidx = _quad([1.6, ly, 1.6], [2.4, ly, 1.6],
-                       [2.4, ly, 2.4], [1.6, ly, 2.4])
-    camera = Camera(
-        origin=(2.0, 1.2, 7.0), look_at=(2.0, 0.8, 0.0), up=(0.0, 1.0, 0.0),
-        fovy=np.radians(35.0), aspect=1.0,
-    )
-    return build_scene(
-        positions_list=meshes_pos, indices_list=meshes_idx,
-        kd_list=kds, ks_list=kss, ns_list=nss,
-        light_positions=lpos, light_indices=lidx,
-        light_intensity=np.asarray(light_intensity, np.float32),
-        camera=camera,
-    )
+    light = _quad([1.6, ly, 1.6], [2.4, ly, 1.6],
+                  [2.4, ly, 2.4], [1.6, ly, 2.4])
+    camera = dict(origin=[2.0, 1.2, 7.0], direction=[2.0, 0.8, 0.0],
+                  up=[0.0, 1.0, 0.0], fovy=35.0)
+    return dict(groups=groups, light=light,
+                intensity=tuple(light_intensity), camera=camera)
+
+
+def box_field(num_boxes: int = 2000, seed: int = 0,
+              light_intensity=(40.0, 38.0, 30.0, 0.0)) -> SceneData:
+    return _build(box_field_spec(num_boxes, seed, light_intensity))
 
 
 def plane_light_scene(light_intensity=(5.0, 5.0, 5.0, 0.0)) -> SceneData:

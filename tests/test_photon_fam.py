@@ -67,8 +67,8 @@ def test_photon_splat_dense_matches_quadrature():
     scene = plane_light_scene()
     gbuf = trace_gbuffer(scene, RES, RES)
     radius = jnp.float32(0.25)
-    paths = 4096
-    frames = 6
+    paths = 8192
+    frames = 8
     acc = jnp.zeros((RES * RES, 3))
     for i in range(frames):
         pm = trace_light_paths(scene, iteration_key(1, i), paths, 4)
@@ -76,12 +76,17 @@ def test_photon_splat_dense_matches_quadrature():
                                   jnp.float32(0.0), jnp.float32(0.0),
                                   jnp.float32(1.0 / paths))
     img = np.asarray(acc / frames)
-    c = _center()
-    p = np.asarray(gbuf.position[c])
+    # evaluate at the pixel nearest the light spot's center: the image
+    # center maps ~2.6 m away, where photon counts are tiny and the convex
+    # 1/d^4 falloff makes the disc-KDE bias large and positive; under the
+    # light the irradiance is locally flat, so bias and noise are small
+    pos = np.asarray(gbuf.position)
+    c = int(np.argmin(pos[:, 0] ** 2 + pos[:, 2] ** 2))
+    p = pos[c]
     kd = np.asarray(gbuf.kd[c])[0]
     ref = _direct_quadrature(scene, p, np.array([0, 1, 0.0]), kd)
     # KDE bias + MC noise: loose tolerance
-    np.testing.assert_allclose(img[c], ref, rtol=0.25)
+    np.testing.assert_allclose(img[c], ref, rtol=0.15)
 
 
 def test_tiled_splat_equals_dense():

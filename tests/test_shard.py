@@ -1,17 +1,20 @@
-"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh:
-the sharded EVPLP frame (pixel rows + ring-rotated light blocks) must equal
-an unsharded emulation that processes the same blocks sequentially."""
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh.
+
+The sharded EVPLP frame must equal the SINGLE-DEVICE photon_fam_frame —
+not an emulation: per-path-id RNG makes the global light-path set
+device-count invariant, the VPL/VSL working set (first V paths) is traced
+replicated, LVC all_gathers the pool, and the photon splat rides the ring.
+Differences are float reassociation only.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from evplp_tpu.core.sampling import iteration_key
-from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
-from evplp_tpu.integrators.light_trace import trace_light_paths
-from evplp_tpu.integrators.photon_fam import PhotonFamConfig, init_state
-from evplp_tpu.integrators.photon_splat import photon_splat_tiled
-from evplp_tpu.integrators.vpl import vpl_gather
+from evplp_tpu.integrators.gbuffer import trace_gbuffer
+from evplp_tpu.integrators.photon_fam import (
+    PhotonFamConfig, init_state, photon_fam_frame)
 from evplp_tpu.parallel.shard import (
     make_mesh, shard_state, sharded_photon_fam_frame, sharded_pt_frame)
 from evplp_tpu.scene.procedural import cornell_box
@@ -25,58 +28,51 @@ pytestmark = pytest.mark.skipif(
 
 def _cfg(**kw):
     base = dict(
-        width=RES, height=RES, num_light_paths=64, num_vpl_light_paths=8,
+        width=RES, height=RES, num_light_paths=64,
+        # deliberately NOT divisible by the device count: the gather's
+        # working set is replicated, not split, so any count works
+        num_vpl_light_paths=6,
         num_records=3, mis_mode=4, accumulate=True, use_jitter=True,
-        splat_tile=4, splat_cap=256, splat_span=8,
+        splat_tile=4, splat_cap=512, splat_span=8,
     )
     base.update(kw)
     return PhotonFamConfig(**base)
 
 
-def _emulate_unsharded(scene, cfg, key, radius, clamp, pdf_mc, n_blocks):
-    """Reference result: same blocks, same RNG, sequential on one device."""
-    u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
-    jitter = (2.0 * u - 1.0) / jnp.asarray([cfg.width, cfg.height], jnp.float32)
-    gbuf = trace_gbuffer(scene, cfg.width, cfg.height, jitter)
-
-    paths_blk = cfg.num_light_paths // n_blocks
-    vpl_blk = cfg.num_vpl_light_paths // n_blocks
-    vpl = jnp.zeros((cfg.width * cfg.height, 3))
-    photon = jnp.zeros((cfg.width * cfg.height, 3))
-    for b in range(n_blocks):
-        pm = trace_light_paths(
-            scene, jax.random.fold_in(jax.random.fold_in(key, 1), b),
-            paths_blk, cfg.num_records)
-        vpl += vpl_gather(scene, gbuf, pm, cfg.mis_mode, pdf_mc, clamp,
-                          vpl_blk) * (vpl_blk / cfg.num_vpl_light_paths)
-        img, _ = photon_splat_tiled(
-            scene, gbuf, pm, radius, cfg.mis_mode, pdf_mc, clamp,
-            1.0 / cfg.num_light_paths, cfg.width, cfg.height, jitter,
-            tile=cfg.splat_tile, cap=cfg.splat_cap, span=cfg.splat_span)
-        photon += img
-    return vpl, photon, light_image(scene, gbuf)
+VARIANTS = {
+    "vpl": dict(mis_mode=1),
+    "vpl_clamp": dict(mis_mode=4),
+    "vsl": dict(force_vsl=True),
+    "lvc": dict(lvc=True),
+    "pm": dict(num_vpl_light_paths=0),
+}
 
 
-def test_sharded_photon_fam_matches_unsharded():
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_sharded_matches_single_device(variant):
     scene = cornell_box()
-    cfg = _cfg()
-    mesh = make_mesh(N_DEV)
+    cfg = _cfg(**VARIANTS[variant])
     key = iteration_key(0, 0)
-    radius, clamp, pdf_mc = 0.08, 0.5, 2.0
+    radius, clamp, pdf_mc, vslr = 0.08, 0.5, 2.0, 0.15
 
-    state = shard_state(init_state(cfg), mesh)
-    out = sharded_photon_fam_frame(scene, cfg, mesh, state, key,
-                                   radius, clamp, pdf_mc)
-    vpl_ref, ph_ref, light_ref = _emulate_unsharded(
-        scene, cfg, key, jnp.float32(radius), jnp.float32(clamp),
-        jnp.float32(pdf_mc), N_DEV)
+    ref = photon_fam_frame(scene, cfg, init_state(cfg), key,
+                           jnp.float32(radius), jnp.float32(clamp),
+                           jnp.float32(pdf_mc), jnp.float32(vslr))
 
-    np.testing.assert_allclose(np.asarray(out.vpl_acc), np.asarray(vpl_ref),
+    mesh = make_mesh(N_DEV)
+    out = sharded_photon_fam_frame(scene, cfg, mesh,
+                                   shard_state(init_state(cfg), mesh), key,
+                                   radius, clamp, pdf_mc, vslr)
+
+    assert int(ref.dropped) == 0 and int(out.dropped) == 0
+    np.testing.assert_allclose(np.asarray(out.vpl_acc),
+                               np.asarray(ref.vpl_acc),
                                rtol=2e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out.photon_acc), np.asarray(ph_ref),
+    np.testing.assert_allclose(np.asarray(out.photon_acc),
+                               np.asarray(ref.photon_acc),
                                rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.light_img),
-                               np.asarray(light_ref), rtol=1e-6)
+                               np.asarray(ref.light_img), rtol=1e-6)
 
 
 def test_sharded_accumulation_two_frames():
@@ -84,9 +80,17 @@ def test_sharded_accumulation_two_frames():
     cfg = _cfg(num_light_paths=32, num_vpl_light_paths=8, mis_mode=1)
     mesh = make_mesh(N_DEV)
     state = shard_state(init_state(cfg), mesh)
+    single = init_state(cfg)
     for i in range(2):
+        key = iteration_key(0, i)
         state = sharded_photon_fam_frame(
-            scene, cfg, mesh, state, iteration_key(0, i), 0.08, 0.5, 2.0)
+            scene, cfg, mesh, state, key, 0.08, 0.5, 2.0)
+        single = photon_fam_frame(scene, cfg, single, key, jnp.float32(0.08),
+                                  jnp.float32(0.5), jnp.float32(2.0),
+                                  jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(state.vpl_acc),
+                               np.asarray(single.vpl_acc),
+                               rtol=2e-4, atol=1e-6)
     img = np.asarray(state.vpl_acc)
     assert np.isfinite(img).all() and (img >= 0).all() and img.max() > 0
 
@@ -98,7 +102,6 @@ def test_sharded_pt_matches_single_device():
     img, light = sharded_pt_frame(scene, mesh, RES, RES, key, num_bounces=2,
                                   use_jitter=False)
     # single-device reference with identical per-shard keys
-    gbuf = trace_gbuffer(scene, RES, RES)
     rows = RES // N_DEV
     parts = []
     for d in range(N_DEV):
