@@ -1,9 +1,13 @@
 """Equal-protocol benchmark (BASELINE.md / SURVEY.md §6).
 
 Headline metric: traced rays per second on the EVPLP ("ours") workload —
-G-buffer primary rays + light-path rays + pixel x VPL shadow segments —
-at reference-scale parameters (numVplLightPaths=30, numMaxBounces=3) on the
-procedural Cornell scene (the reference's OBJ scenes are git-LFS stubs).
+G-buffer primary rays + light-path rays + pixel x VPL shadow segments — at
+reference-scale parameters (numVplLightPaths=30, numMaxBounces=3) on a
+>=100k-triangle scene (box_field; the reference's conference is this scale
+and its OBJs are git-LFS stubs).  Secondary: the same frame on the
+62-triangle Cornell (round-1 headline), path-tracing throughput, and an
+on-device differential check of the compiled Pallas kernel vs the dense
+brute-force oracle.
 
 North star (BASELINE.json): >= 100 Mrays/s/chip on TPU v5e.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
@@ -22,23 +26,25 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+import numpy as np
 
 from evplp_tpu.core.sampling import iteration_key
 from evplp_tpu.integrators.photon_fam import (
     PhotonFamConfig, init_state, photon_fam_frame)
-from evplp_tpu.scene.procedural import cornell_box
+from evplp_tpu.scene.procedural import box_field, cornell_box
 
 # reference-protocol parameters (scene/*/*_ours.json; paths scaled to the
-# procedural scene, bounces identical)
+# procedural scenes, bounces identical)
 RES = 1024
 NUM_LIGHT_PATHS = 100_000
 NUM_VPL_PATHS = 30
 NUM_BOUNCES = 3
-BASELINE_MRAYS = 100.0  # north-star target, Mrays/s/chip
+BIG_SCENE_BOXES = 8500          # ~102k triangles
+BASELINE_MRAYS = 100.0          # north-star target, Mrays/s/chip
 
 
-def main():
-    scene = cornell_box()
+def evplp_rate(scene, frames_budget_s=30.0, max_frames=10):
+    """Mray/s of the EVPLP frame on `scene` at reference parameters."""
     records = NUM_BOUNCES + 1
     cfg = PhotonFamConfig(
         width=RES, height=RES,
@@ -59,16 +65,13 @@ def main():
             jnp.float32(radius), jnp.float32(clamp), jnp.float32(pdf_mc),
             jnp.float32(0.0))
 
-    # warmup/compile
-    state = frame(state, 0)
+    state = frame(state, 0)                      # compile
     jax.block_until_ready(state.vpl_acc)
-
-    # time one frame, then size the run to a sane budget
     t0 = time.perf_counter()
     state = frame(state, 1)
     jax.block_until_ready(state.vpl_acc)
     per_frame = time.perf_counter() - t0
-    frames = max(1, min(10, int(30.0 / max(per_frame, 1e-3))))
+    frames = max(1, min(max_frames, int(frames_budget_s / max(per_frame, 1e-3))))
 
     t0 = time.perf_counter()
     for i in range(frames):
@@ -83,17 +86,58 @@ def main():
         + n_px * NUM_VPL_PATHS * records            # VPL shadow segments
     )
     mrays = rays_per_frame * frames / elapsed / 1e6
+    return mrays, elapsed / frames * 1000.0, frames, int(state.dropped)
 
-    # secondary: path-tracing throughput (1 primary + per-bounce extension
-    # + NEE shadow segment per pixel, RR-terminated — count the upper bound)
+
+def kernel_check(scene, n_rays=8192):
+    """Differential check of the COMPILED packet kernel (as Mosaic builds it
+    on this device) vs the dense brute-force oracle."""
+    from evplp_tpu.trace.intersect import (_closest_brute_chunked,
+                                           intersect_closest)
+    o, d = scene.camera.generate_rays(96, 96)   # 9216 coherent rays
+    o, d = o[:n_rays], d[:n_rays]
+    tmin = jnp.full((n_rays,), 1e-4, jnp.float32)
+    tmax = jnp.full((n_rays,), 3.0e38, jnp.float32)
+
+    hit = intersect_closest(scene.tris, scene.bvh, o, d, t_min=1e-4)
+    t_ref, p_ref, _, _ = jax.jit(_closest_brute_chunked)(
+        scene.tris, o, d, tmin, tmax)
+
+    p_k = np.asarray(hit.prim)
+    p_r = np.asarray(p_ref)
+    hit_match = (p_k >= 0) == (p_r >= 0)
+    m = (p_k >= 0) & (p_r >= 0)
+    t_match = np.allclose(np.asarray(hit.t)[m], np.asarray(t_ref)[m],
+                          rtol=1e-4)
+    # differing prim ids with equal t are legitimate (coplanar duplicates)
+    prim_match = (p_k[m] == p_r[m]) | np.isclose(
+        np.asarray(hit.t)[m], np.asarray(t_ref)[m], rtol=1e-4)
+    ok = bool(hit_match.all() and t_match and prim_match.all())
+    return "pass" if ok else "fail"
+
+
+def main():
+    big = box_field(num_boxes=BIG_SCENE_BOXES)
+    n_tris = int(big.tris.v0.shape[0])
+    check = kernel_check(big)
+
+    mrays_big, ms_big, frames_big, dropped_big = evplp_rate(big)
+
+    small = cornell_box()
+    mrays_small, ms_small, frames_small, dropped_small = evplp_rate(small)
+
+    # path-tracing throughput on the big scene (1 primary + per-bounce
+    # extension + NEE shadow segment per pixel — upper-bound ray count)
     from evplp_tpu.integrators.gbuffer import trace_gbuffer
     from evplp_tpu.integrators.pt import render_pt_frame
 
     @jax.jit
     def pt_frame(acc, key):
-        gbuf = trace_gbuffer(scene, RES, RES, None)
-        return acc + render_pt_frame(scene, gbuf, key, NUM_BOUNCES)
+        gbuf = trace_gbuffer(big, RES, RES, None)
+        return acc + render_pt_frame(big, gbuf, key, NUM_BOUNCES,
+                                     tile_shape=(RES, RES))
 
+    n_px = RES * RES
     acc = jnp.zeros((n_px, 3), jnp.float32)
     acc = pt_frame(acc, iteration_key(1, 0))
     jax.block_until_ready(acc)
@@ -103,19 +147,23 @@ def main():
         acc = pt_frame(acc, iteration_key(1, 1 + i))
     jax.block_until_ready(acc)
     pt_elapsed = time.perf_counter() - t0
-    pt_rays = n_px * (1 + NUM_BOUNCES * 2)  # upper bound per frame
+    pt_rays = n_px * (1 + NUM_BOUNCES * 2)
     pt_mrays = pt_rays * pt_frames / pt_elapsed / 1e6
 
     print(json.dumps({
-        "metric": "evplp_mrays_per_sec",
-        "value": round(mrays, 2),
+        "metric": "evplp_100k_mrays_per_sec",
+        "value": round(mrays_big, 2),
         "unit": "Mray/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-        "frames": frames,
-        "ms_per_frame": round(elapsed / frames * 1000.0, 1),
+        "vs_baseline": round(mrays_big / BASELINE_MRAYS, 3),
+        "scene_tris": n_tris,
+        "frames": frames_big,
+        "ms_per_frame": round(ms_big, 1),
         "resolution": RES,
         "device": str(jax.devices()[0]),
-        "dropped_splat_pairs": int(state.dropped),
+        "kernel_check": check,
+        "dropped_splat_pairs": dropped_big,
+        "cornell_mrays_per_sec": round(mrays_small, 2),
+        "cornell_ms_per_frame": round(ms_small, 1),
         "pt_mrays_per_sec": round(pt_mrays, 2),
         "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
     }))

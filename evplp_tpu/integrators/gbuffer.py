@@ -54,7 +54,9 @@ def trace_gbuffer(scene: SceneData, width: int, height: int,
     """
     o, d = scene.camera.generate_rays(width, height, jitter_ndc,
                                       row_start=row_start, row_count=row_count)
-    hit = intersect_closest(scene.tris, scene.bvh, o, d, t_min=1e-4)
+    rows = height if row_count is None else row_count
+    hit = intersect_closest(scene.tris, scene.bvh, o, d, t_min=1e-4,
+                            tile_shape=(rows, width))
     valid = hit.valid
     prim = jnp.maximum(hit.prim, 0)
 

@@ -137,8 +137,10 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
         position, direction, flux, active = carry
         last = b == num_records - 1
 
+        # dead paths get an empty interval: the tracer skips them entirely
         hit = intersect_closest(scene.tris, scene.bvh, position, direction,
-                                t_min=1e-4)
+                                t_min=1e-4,
+                                t_max=jnp.where(active, 3.0e38, 0.0))
         prim = jnp.maximum(hit.prim, 0)
         next_pos = position + hit.t[:, None] * direction
         geom_n = scene.tris.n[prim]

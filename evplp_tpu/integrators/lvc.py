@@ -24,15 +24,17 @@ from evplp_tpu.trace.intersect import occluded_segment
 
 
 def _lvc_contribution(scene, gbuf, rec, mis_mode, pdf_mc, clamping_value,
-                      wi10):
+                      wi10, tile_shape=None):
     """vplSplat math with PER-PIXEL records (all rec fields are (N, ...))."""
     v12 = rec["pos"] - gbuf.position
     ucos1 = jnp.maximum(mu.dot(gbuf.normal, v12), 0.0)
     ucos2 = jnp.maximum(-mu.dot(rec["normal"], v12), 0.0)
     cull = (ucos1 * ucos2) > 0.0
 
+    usable = (rec["flags"] & FLAG_VPL) != 0
+    pre = cull & (gbuf.stencil > 0.0) & usable
     occ = occluded_segment(scene.tris, scene.bvh, rec["pos"], gbuf.position,
-                           eps=1e-4)
+                           eps=1e-4, live=pre, tile_shape=tile_shape)
 
     d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
     wi12 = v12 * jax.lax.rsqrt(d2)[:, None]
@@ -64,8 +66,7 @@ def _lvc_contribution(scene, gbuf, rec, mis_mode, pdf_mc, clamping_value,
     else:
         raise ValueError(f"unknown misMode {mis_mode}")
 
-    usable = (rec["flags"] & FLAG_VPL) != 0
-    keep = cull & ~occ & (gbuf.stencil > 0.0) & usable
+    keep = pre & ~occ
     return jnp.where(keep[:, None], out, 0.0)
 
 
@@ -76,10 +77,11 @@ def lvc_offsets(key, n: int, num_paths: int) -> jnp.ndarray:
     return (u * num_paths).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("mis_mode", "num_vpl_paths"))
+@partial(jax.jit, static_argnames=("mis_mode", "num_vpl_paths", "tile_shape"))
 def lvc_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                mis_mode: int, pdf_mc, clamping_value,
-               num_vpl_paths: int, offsets=None) -> jnp.ndarray:
+               num_vpl_paths: int, offsets=None,
+               tile_shape=None) -> jnp.ndarray:
     """Per-pixel randomized light-subpath selection.
 
     offsets: precomputed per-pixel window starts — passed by the sharded
@@ -107,7 +109,8 @@ def lvc_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
         ridx = path * b + j
         rec = {k: v[ridx] for k, v in fields.items()}
         return acc + _lvc_contribution(scene, gbuf, rec, mis_mode, pdf_mc,
-                                       clamping_value, wi10), None
+                                       clamping_value, wi10,
+                                       tile_shape=tile_shape), None
 
     ii = jnp.repeat(jnp.arange(num_vpl_paths, dtype=jnp.int32), b)
     jj = jnp.tile(jnp.arange(b, dtype=jnp.int32), num_vpl_paths)

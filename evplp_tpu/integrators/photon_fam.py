@@ -129,21 +129,23 @@ def photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
         pm = zero_photon_map(cfg.num_light_paths, cfg.num_records)
 
     vpl_acc = state.vpl_acc
+    ts = (cfg.height, cfg.width)
     if cfg.do_vpl and cfg.num_vpl_light_paths > 0:
         if cfg.force_vsl:
             img = timer.time_call(
                 "vsl_gather", vsl_gather, scene, gbuf, pm,
                 jax.random.fold_in(key, 2), vsl_radius,
-                cfg.num_vpl_light_paths)
+                cfg.num_vpl_light_paths, tile_shape=ts)
         elif cfg.lvc:
             img = timer.time_call(
                 "lvc_gather", lvc_gather, scene, gbuf, pm,
                 jax.random.fold_in(key, 3), cfg.mis_mode, pdf_mc,
-                clamping_value, cfg.num_vpl_light_paths)
+                clamping_value, cfg.num_vpl_light_paths, tile_shape=ts)
         else:
             img = timer.time_call(
                 "vpl_gather", vpl_gather, scene, gbuf, pm, cfg.mis_mode,
-                pdf_mc, clamping_value, cfg.num_vpl_light_paths)
+                pdf_mc, clamping_value, cfg.num_vpl_light_paths,
+                tile_shape=ts)
         vpl_acc = vpl_acc + img if cfg.accumulate else img
 
     photon_acc = state.photon_acc

@@ -38,12 +38,13 @@ def _emit_profile(light_n, to_prev, exponent):
 
 
 def _nee(scene: SceneData, key, position, normal, inc, kd, ks, ns,
-         attenuation, chose_l, p_l, shadow_eps):
+         attenuation, chose_l, p_l, shadow_eps, live=None, tile_shape=None):
     """Next-event estimation at a batch of vertices.
 
     The lobe-selection decision (chose_l) also selects which BRDF the NEE
     contribution uses and its 1/p factor, matching the reference's
-    branch structure (pathtracing.cu:178-217).
+    branch structure (pathtracing.cu:178-217).  live masks lanes whose
+    contribution the caller discards — their shadow segments are not traced.
     """
     n = position.shape[0]
     u3 = jax.random.uniform(key, (n, 3))
@@ -52,7 +53,8 @@ def _nee(scene: SceneData, key, position, normal, inc, kd, ks, ns,
     to_light = l_pos - position
     to_light_n = mu.normalize(to_light)
     occluded = occluded_segment(scene.tris, scene.bvh, l_pos, position,
-                                eps=shadow_eps)
+                                eps=shadow_eps, live=live,
+                                tile_shape=tile_shape)
 
     g = mu.geometry_term(normal, l_n, to_light)
     emit = _emit_profile(l_n, -to_light_n, scene.light.intensity[3])
@@ -73,7 +75,7 @@ def _nee(scene: SceneData, key, position, normal, inc, kd, ks, ns,
 
 
 def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
-                    num_bounces: int) -> jnp.ndarray:
+                    num_bounces: int, tile_shape=None) -> jnp.ndarray:
     """One 1-spp path-traced frame over all pixels; returns (N, 3) radiance
     (excluding directly visible emission)."""
     n = gbuf.position.shape[0]
@@ -96,7 +98,8 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
     result += jnp.where(
         active[:, None],
         _nee(scene, k_nee, position, normal, inc, gbuf.kd, gbuf.ks, gbuf.ns,
-             jnp.ones((n, 3)), chose_l, p_l, shadow_eps=1e-4),
+             jnp.ones((n, 3)), chose_l, p_l, shadow_eps=1e-4,
+             live=active, tile_shape=tile_shape),
         0.0,
     )
 
@@ -115,8 +118,11 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         k_sel, k_nee, k_lobe, k_rr = jax.random.split(kb, 4)
         last = bounce == num_bounces - 1
 
+        # dead lanes get an empty interval: the tracer skips them entirely
         hit = intersect_closest(scene.tris, scene.bvh, prev_position,
-                                direction, t_min=1e-5)
+                                direction, t_min=1e-5,
+                                t_max=jnp.where(active, 3.0e38, 0.0),
+                                tile_shape=tile_shape)
         prim = jnp.maximum(hit.prim, 0)
         hit_ok = active & hit.valid
         next_position = prev_position + hit.t[:, None] * direction
@@ -151,7 +157,8 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         result = result + jnp.where(
             surface[:, None],
             _nee(scene, k_nee, next_position, geom_n, inc, kd, ks, ns,
-                 attenuation, chose_l, p_l, shadow_eps=1e-5),
+                 attenuation, chose_l, p_l, shadow_eps=1e-5,
+                 live=surface, tile_shape=tile_shape),
             0.0,
         )
 

@@ -49,7 +49,8 @@ def _pdf_brdf2(rec, wi12, p_l_shading):
                                rec["ks"][None, :], rec["ns"]))
 
 
-def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10):
+def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
+                tile_shape=None):
     """One VSL record vs all pixels: (N, 3).
 
     pkeys: per-pixel RNG keys (counter-based on the GLOBAL pixel id, so a
@@ -69,15 +70,17 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10):
     dist = jnp.sqrt(d2)
     nv12 = v12 / dist[:, None]
 
+    cos1cos2 = (jnp.maximum(mu.dot(gbuf.normal, nv12), 0.0)
+                * jnp.maximum(-mu.dot(rec["normal"], nv12), 0.0))
+    pre = (cos1cos2 > 1e-9) & (gbuf.stencil > 0.0) \
+        & ((rec["flags"] & FLAG_VPL) != 0)
+
     occ = occluded_segment(
         scene.tris, scene.bvh,
         jnp.broadcast_to(rec["pos"], gbuf.position.shape), gbuf.position,
-        eps=1e-4)
+        eps=1e-4, live=pre, tile_shape=tile_shape)
 
-    cos1cos2 = (jnp.maximum(mu.dot(gbuf.normal, nv12), 0.0)
-                * jnp.maximum(-mu.dot(rec["normal"], nv12), 0.0))
-    gate = (cos1cos2 > 1e-9) & ~occ & (gbuf.stencil > 0.0) \
-        & ((rec["flags"] & FLAG_VPL) != 0)
+    gate = pre & ~occ
 
     rdratio = vsl_radius / dist
     half_cone = jnp.where(rdratio >= 1.0, jnp.pi / 2.0,
@@ -179,10 +182,10 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10):
     return jnp.where(gate[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("num_vsl_paths",))
+@partial(jax.jit, static_argnames=("num_vsl_paths", "tile_shape"))
 def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                vsl_radius, num_vsl_paths: int,
-               pixel_offset=0) -> jnp.ndarray:
+               pixel_offset=0, tile_shape=None) -> jnp.ndarray:
     """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722).
 
     pixel_offset: global id of gbuf's first pixel (row-sharded runs)."""
@@ -205,7 +208,8 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
         pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.fold_in(key, i), pixel_ids)
         contrib = _vsl_record(scene, gbuf, rec, pkeys,
-                              vsl_radius, vsl_inv_pi_r2, wi10)
+                              vsl_radius, vsl_inv_pi_r2, wi10,
+                              tile_shape=tile_shape)
         return (acc + contrib, i + 1), None
 
     acc0 = jnp.zeros_like(gbuf.position)

@@ -117,19 +117,21 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
                     vpl_img = lvc_gather(
                         scene, gbuf, pm_full, jax.random.fold_in(key, 3),
                         cfg.mis_mode, pdf_mc, clamping_value, n_vpl,
-                        offsets=off)
+                        offsets=off, tile_shape=(rows, cfg.width))
                 elif cfg.force_vsl:
                     pm_vpl = trace_light_paths(scene, key_lt, n_vpl,
                                                cfg.num_records, path_offset=0)
                     vpl_img = vsl_gather(scene, gbuf, pm_vpl,
                                          jax.random.fold_in(key, 2),
                                          vsl_radius, n_vpl,
-                                         pixel_offset=d * n_local)
+                                         pixel_offset=d * n_local,
+                                         tile_shape=(rows, cfg.width))
                 else:
                     pm_vpl = trace_light_paths(scene, key_lt, n_vpl,
                                                cfg.num_records, path_offset=0)
                     vpl_img = vpl_gather(scene, gbuf, pm_vpl, cfg.mis_mode,
-                                         pdf_mc, clamping_value, n_vpl)
+                                         pdf_mc, clamping_value, n_vpl,
+                                         tile_shape=(rows, cfg.width))
 
             if cfg.do_photon:
                 block = pm
@@ -187,7 +189,8 @@ def sharded_pt_frame(scene: SceneData, mesh: Mesh, width: int, height: int,
         gbuf = trace_gbuffer(scene, width, height, jitter,
                              row_start=d * rows, row_count=rows)
         img = render_pt_frame(scene, gbuf,
-                              jax.random.fold_in(key, d + 17), num_bounces)
+                              jax.random.fold_in(key, d + 17), num_bounces,
+                              tile_shape=(rows, width))
         return img, light_image(scene, gbuf)
 
     fn = jax.jit(

@@ -284,7 +284,8 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
         result = jnp.zeros((n, 3), jnp.float32)
         for s in range(p.num_sample_per_pixel):
             result += render_pt_frame(scene, gbuf, jax.random.fold_in(key, s),
-                                      p.num_max_bounces)
+                                      p.num_max_bounces,
+                                      tile_shape=(job.height, job.width))
         result /= p.num_sample_per_pixel
         light = light_image(scene, gbuf)
         new_acc = acc + result if accumulate else result

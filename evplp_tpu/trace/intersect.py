@@ -296,13 +296,63 @@ def _any_brute_chunked(tris: Triangles, o, d, t_min, t_max):
     return occ.reshape(-1)[:r]
 
 
-@partial(jax.jit, static_argnames=("leaf_size",))
+# screen-tile swizzle: a packet of consecutive rays becomes a compact
+# SWIZZLE_TH x SWIZZLE_TW pixel block instead of a thin raster strip, which
+# shrinks each packet's BVH footprint ~2-4x (pure reshape/transpose, no
+# gather). 64*128 = 8192 rays = one packet at the default kernel shape.
+SWIZZLE_TH = 64
+SWIZZLE_TW = 128
+
+
+def _swizzle(x, ht, w):
+    x = x.reshape((ht // SWIZZLE_TH, SWIZZLE_TH, w // SWIZZLE_TW,
+                   SWIZZLE_TW) + x.shape[1:])
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((ht * w,) + x.shape[4:])
+
+
+def _unswizzle(x, ht, w):
+    x = x.reshape((ht // SWIZZLE_TH, w // SWIZZLE_TW, SWIZZLE_TH,
+                   SWIZZLE_TW) + x.shape[1:])
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((ht * w,) + x.shape[4:])
+
+
+def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
+    from evplp_tpu.trace.packet3 import packet3_trace
+    r = o.shape[0]
+    sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
+          and tile_shape[1] % SWIZZLE_TW == 0)
+    if sw:
+        ht, w = tile_shape
+        pad_rows = (-ht) % SWIZZLE_TH
+        if pad_rows:  # dead rays: empty interval, traced for free
+            o = jnp.pad(o, ((0, pad_rows * w), (0, 0)))
+            d = jnp.pad(d, ((0, pad_rows * w), (0, 0)), constant_values=1.0)
+            t_min = jnp.pad(t_min, (0, pad_rows * w), constant_values=1.0)
+            t_max = jnp.pad(t_max, (0, pad_rows * w), constant_values=0.0)
+            ht += pad_rows
+        o, d, t_min, t_max = (_swizzle(x, ht, w)
+                              for x in (o, d, t_min, t_max))
+    t, prim, u, v = packet3_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, t_min, t_max, any_hit=any_hit)
+    if sw:
+        t, prim, u, v = (_unswizzle(x, ht, w)[:r]
+                         for x in (t, prim, u, v))
+    return t, prim, u, v
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "tile_shape"))
 def intersect_closest(tris: Triangles, bvh: BVH, o, d,
-                      t_min=1e-5, t_max=BIG, leaf_size: int = 8) -> Hit:
+                      t_min=1e-5, t_max=BIG, leaf_size: int = 8,
+                      tile_shape=None) -> Hit:
     """Closest hit for a batch of rays. o, d: (R, 3); t_min/t_max scalar or (R,).
 
     Dispatches by (static) scene size: dense VPU brute force for small
-    scenes, stackless BVH traversal otherwise.
+    scenes, Pallas packet BVH traversal otherwise.  tile_shape=(H, W): the
+    rays form a row-major H x W grid — lets the packet path process square
+    screen tiles instead of raster strips.
     """
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
@@ -311,10 +361,8 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
         t, prim, u, v = _closest_brute_chunked(tris, o, d, t_min, t_max)
         return Hit(t=t, prim=prim, u=u, v=v)
     if _use_packet(tris, bvh):
-        from evplp_tpu.trace.packet2 import packet2_trace
-        t, prim, u, v = packet2_trace(
-            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
-            o, d, t_min, t_max, any_hit=False)
+        t, prim, u, v = _packet_trace(bvh, o, d, t_min, t_max, False,
+                                      tile_shape)
         return Hit(t=t, prim=prim, u=u, v=v)
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, False, leaf_size)
@@ -323,20 +371,23 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
     return Hit(t=t, prim=prim, u=u, v=v)
 
 
-@partial(jax.jit, static_argnames=("leaf_size",))
+@partial(jax.jit, static_argnames=("leaf_size", "tile_shape"))
 def intersect_any(tris: Triangles, bvh: BVH, o, d,
-                  t_min=1e-5, t_max=BIG, leaf_size: int = 8):
-    """True where any primitive lies in (t_min, t_max) along the ray."""
+                  t_min=1e-5, t_max=BIG, leaf_size: int = 8,
+                  tile_shape=None):
+    """True where any primitive lies in (t_min, t_max) along the ray.
+
+    Lanes with an empty interval (t_max <= t_min, e.g. pre-culled shadow
+    segments) are never traced and report True (callers mask them anyway);
+    pre-culling this way speeds the packet path up substantially."""
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     if tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         return _any_brute_chunked(tris, o, d, t_min, t_max)
     if _use_packet(tris, bvh):
-        from evplp_tpu.trace.packet2 import packet2_trace
-        _, prim, _, _ = packet2_trace(
-            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
-            o, d, t_min, t_max, any_hit=True)
+        _, prim, _, _ = _packet_trace(bvh, o, d, t_min, t_max, True,
+                                      tile_shape)
         return prim >= 0
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, True, leaf_size)
@@ -346,12 +397,20 @@ def intersect_any(tris: Triangles, bvh: BVH, o, d,
 
 
 def occluded_segment(tris: Triangles, bvh: BVH, p_from, p_to,
-                     eps: float = 1e-4, leaf_size: int = 8):
+                     eps: float = 1e-4, leaf_size: int = 8,
+                     live=None, tile_shape=None):
     """Segment occlusion the reference's way (lighttracing.cu:290-294):
-    origin = p_from, unnormalized dir = p_to - p_from, t in (eps, 1-eps)."""
+    origin = p_from, unnormalized dir = p_to - p_from, t in (eps, 1-eps).
+
+    live: optional (R,) bool — segments with live=False are not traced
+    (their result is unspecified; callers must mask them out)."""
     d = p_to - p_from
+    t_max = 1.0 - eps
+    if live is not None:
+        t_max = jnp.where(live, jnp.float32(1.0 - eps), jnp.float32(0.0))
     return intersect_any(tris, bvh, p_from, d,
-                         t_min=eps, t_max=1.0 - eps, leaf_size=leaf_size)
+                         t_min=eps, t_max=t_max, leaf_size=leaf_size,
+                         tile_shape=tile_shape)
 
 
 @jax.jit

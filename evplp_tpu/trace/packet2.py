@@ -198,6 +198,8 @@ def packet2_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
             pltpu.VMEM((packet_rows, LANES), jnp.float32),
             pltpu.VMEM((packet_rows, LANES), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=not _COMPILED,
     )(bounds, meta, tri_rows, *args)
 

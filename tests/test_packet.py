@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from evplp_tpu.accel.bvh import build_bvh
-from evplp_tpu.trace import packet, packet2
+from evplp_tpu.trace import packet, packet2, packet3
 from evplp_tpu.trace.intersect import Triangles, intersect_closest_brute
 
 
@@ -14,9 +14,11 @@ from evplp_tpu.trace.intersect import Triangles, intersect_closest_brute
 def _interpret():
     packet.set_interpret(True)
     packet2.set_interpret(True)
+    packet3.set_interpret(True)
     yield
     packet.set_interpret(False)
     packet2.set_interpret(False)
+    packet3.set_interpret(False)
 
 
 def _scene(n=200, seed=0):
@@ -93,6 +95,55 @@ def test_packet2_any_matches_oracle():
     ref = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
     np.testing.assert_array_equal(np.asarray(prim >= 0),
                                   np.asarray(ref.prim >= 0))
+
+
+def test_packet3_closest_matches_oracle():
+    tris, bvh = _scene(n=311, seed=2)
+    o, d = _rays(r=300, seed=3)
+    t, prim, u, v = packet3.packet3_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, 1e-4, 3e38, rows=4, npack=2)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+    m = np.asarray(prim >= 0)
+    np.testing.assert_array_equal(np.asarray(prim)[m], np.asarray(ref.prim)[m])
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref.u)[m],
+                               atol=1e-4)
+
+
+def test_packet3_any_matches_oracle_with_dead_lanes():
+    tris, bvh = _scene(n=150, seed=7)
+    o, d = _rays(r=257, seed=8)
+    # pre-culled lanes (empty interval) report a fake hit; live lanes exact
+    tmax = jnp.where(jnp.arange(257) % 3 == 0, 0.0, 2.0)
+    _, prim, _, _ = packet3.packet3_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, jnp.full((257,), 1e-3), tmax, any_hit=True, rows=4, npack=2)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
+    live = np.arange(257) % 3 != 0
+    np.testing.assert_array_equal(np.asarray(prim >= 0)[live],
+                                  np.asarray(ref.prim >= 0)[live])
+    assert (np.asarray(prim >= 0)[~live]).all()  # dead lanes: fake hit
+
+
+def test_intersect_tile_swizzle_roundtrip():
+    """tile_shape must not change results (pure reorder, incl. row pad)."""
+    from evplp_tpu.trace import intersect as isect
+    tris, bvh = _scene(n=311, seed=2)
+    rng = np.random.default_rng(0)
+    ht, w = 96, isect.SWIZZLE_TW   # 96 % 64 != 0 -> exercises row padding
+    o = jnp.asarray(rng.uniform(-2, 2, (ht * w, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(0, 1, (ht * w, 3)).astype(np.float32))
+    tmin = jnp.full((ht * w,), 1e-4)
+    tmax = jnp.full((ht * w,), 3.4e38)
+    t0, p0, u0, v0 = isect._packet_trace(bvh, o, d, tmin, tmax, False, None)
+    t1, p1, u1, v1 = isect._packet_trace(bvh, o, d, tmin, tmax, False,
+                                         (ht, w))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-6)
 
 
 def test_coincident_centroids_no_fat_leaves():

@@ -1,0 +1,110 @@
+"""Tracer microbench at real scene scale (run on TPU).
+
+Workloads mirror the renderer's actual ray mixes on a >=100k-triangle scene:
+  primary   — coherent camera rays (closest hit)
+  shadow    — VPL shadow segments: pixel positions -> one light point
+              (any hit), the EVPLP hot loop's shape
+  bounce    — incoherent hemisphere rays from surface points (closest hit)
+
+Usage: python tools/bench_trace.py [boxes] [rays] [reps]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_scene(boxes: int):
+    from evplp_tpu.scene.procedural import box_field
+    s = box_field(num_boxes=boxes)
+    print(f"scene: {s.tris.v0.shape[0]} tris, "
+          f"{s.bvh.node_min.shape[0]} nodes", flush=True)
+    return s
+
+
+def workloads(scene, n_rays: int, key):
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    res = int(np.sqrt(n_rays))
+    o_p, d_p = scene.camera.generate_rays(res, res)
+
+    # surface points: primaries' hit positions (use tracer once)
+    from evplp_tpu.trace.intersect import intersect_closest
+    hit = intersect_closest(scene.tris, scene.bvh, o_p, d_p, t_min=1e-4)
+    pts = o_p + hit.t[:, None] * d_p
+    valid = hit.prim >= 0
+    pts = jnp.where(valid[:, None], pts, jnp.asarray([2.0, 1.0, 2.0]))
+
+    # shadow: from a point on the light to each surface point
+    lp = jnp.asarray([2.0, 1.98, 2.0], jnp.float32)
+    o_s = jnp.broadcast_to(lp, pts.shape)
+    d_s = pts - lp
+
+    # bounce: random hemisphere directions from the surface points
+    u = jax.random.uniform(key, (pts.shape[0], 2))
+    z = u[:, 0]
+    phi = 2 * jnp.pi * u[:, 1]
+    r = jnp.sqrt(jnp.maximum(1 - z * z, 0.0))
+    d_b = jnp.stack([r * jnp.cos(phi), z, r * jnp.sin(phi)], axis=-1)
+    o_b = pts + 1e-3 * d_b
+
+    def tile_perm(res, th, tw):
+        idx = np.arange(res * res).reshape(res, res)
+        idx = idx.reshape(res // th, th, res // tw, tw)
+        return jnp.asarray(idx.transpose(0, 2, 1, 3).reshape(-1))
+
+    perm = tile_perm(res, 64, 128)
+
+    return {
+        "primary": (o_p, d_p, False, 1e-4, 3.0e38),
+        "primary_t": (o_p[perm], d_p[perm], False, 1e-4, 3.0e38),
+        "shadow": (o_s, d_s, True, 1e-4, 1.0 - 1e-4),
+        "shadow_t": (o_s[perm], d_s[perm], True, 1e-4, 1.0 - 1e-4),
+        "bounce": (o_b, d_b, False, 1e-4, 3.0e38),
+    }
+
+
+def bench(fn, args_list, reps):
+    # warmup on the first args (compile)
+    out = fn(*args_list[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(*args_list[(i + 1) % len(args_list)])  # avoid caching
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    boxes = int(sys.argv[1]) if len(sys.argv) > 1 else 8500
+    n_rays = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    scene = make_scene(boxes)
+    key = jax.random.PRNGKey(0)
+    wl = workloads(scene, n_rays, key)
+
+    from evplp_tpu.trace.packet2 import packet2_trace
+    bvh = scene.bvh
+
+    for name, (o, d, any_hit, tmin, tmax) in wl.items():
+        n = o.shape[0]
+        # two jittered variants so repeated calls aren't cache hits
+        args = []
+        for j in range(2):
+            dj = d * (1.0 + 1e-6 * j)
+            args.append((bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds,
+                         bvh.pk_prim_map, o, dj,
+                         jnp.full((n,), tmin, jnp.float32),
+                         jnp.full((n,), tmax, jnp.float32)))
+        f = lambda *a: packet2_trace(*a, any_hit=any_hit)
+        dt = bench(f, args, reps)
+        print(f"{name:8s} {n} rays: {dt*1e3:8.2f} ms  "
+              f"{n/dt/1e6:8.2f} Mray/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
