@@ -150,3 +150,36 @@ def max_heuristic(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
 def power_heuristic2(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
     """Power-2 heuristic (lighttracing.cu:268-273)."""
     return balance_heuristic(pdf_a * pdf_a, pdf_b * pdf_b)
+
+
+# ---------------------------------------------------------------------------
+# TPU-friendly row gather
+# ---------------------------------------------------------------------------
+
+# Tables at or below this row count are gathered via a one-hot matmul on the
+# MXU; XLA's native gather runs at ~0.2 G elems/s on TPU (measured), which
+# made per-bounce material/normal lookups dominate small-scene path tracing.
+ONEHOT_GATHER_MAX = 256
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] along axis 0, fast on TPU for small tables.
+
+    Small tables: one-hot (N, T) matmul — pure MXU/VPU work.  Large tables
+    fall back to the native gather.  Exact for f32 tables, bools, and ints
+    below 2^24 (the one-hot dot accumulates in f32).
+    """
+    t = table.shape[0]
+    if t > ONEHOT_GATHER_MAX or table.ndim > 2:
+        return jnp.take(table, idx, axis=0)
+    onehot = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :])
+    onehot = onehot.astype(jnp.float32)
+    tab = table if table.ndim == 2 else table[:, None]
+    out = onehot @ tab.astype(jnp.float32)
+    if table.ndim == 1:
+        out = out[:, 0]
+    if table.dtype == jnp.bool_:
+        return out > 0.5
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        return jnp.round(out).astype(table.dtype)
+    return out.astype(table.dtype)

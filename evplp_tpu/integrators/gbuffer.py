@@ -15,6 +15,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
+from evplp_tpu.core import mathutil as mu
 from evplp_tpu.scene.scene import SceneData
 from evplp_tpu.scene.textures import fetch_material
 from evplp_tpu.trace.intersect import intersect_closest
@@ -61,9 +62,9 @@ def trace_gbuffer(scene: SceneData, width: int, height: int,
     prim = jnp.maximum(hit.prim, 0)
 
     position = o + hit.t[:, None] * d
-    normal = scene.tris.n[prim]
+    normal = mu.take_rows(scene.tris.n, prim)
     kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
-    is_light = scene.tri_is_light[prim] & valid
+    is_light = mu.take_rows(scene.tri_is_light, prim) & valid
 
     zero3 = jnp.zeros_like(position)
     return GBuffer(

@@ -143,12 +143,12 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
                                 t_max=jnp.where(active, 3.0e38, 0.0))
         prim = jnp.maximum(hit.prim, 0)
         next_pos = position + hit.t[:, None] * direction
-        geom_n = scene.tris.n[prim]
+        geom_n = mu.take_rows(scene.tris.n, prim)
 
         # rejections (lighttracing.cu:124,143): backface, emitter, black
         ok = active & hit.valid
         ok = ok & (mu.dot(geom_n, direction) <= 0.0)
-        ok = ok & ~scene.tri_is_light[prim]
+        ok = ok & ~mu.take_rows(scene.tri_is_light, prim)
         kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
         ok = ok & ~brdf.is_black(kd, ks)
 

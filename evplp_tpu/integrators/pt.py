@@ -126,13 +126,13 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         prim = jnp.maximum(hit.prim, 0)
         hit_ok = active & hit.valid
         next_position = prev_position + hit.t[:, None] * direction
-        geom_n = scene.tris.n[prim]
+        geom_n = mu.take_rows(scene.tris.n, prim)
 
         backface = mu.dot(geom_n, direction) > 0.0
         hit_ok = hit_ok & ~backface
 
         # emitter hit: MIS-weighted emission, then terminate
-        is_light = scene.tri_is_light[prim] & hit_ok
+        is_light = mu.take_rows(scene.tri_is_light, prim) & hit_ok
         to_prev = mu.normalize(prev_position - next_position)
         v = next_position - prev_position
         pdf_w2a = jnp.maximum(-mu.dot(geom_n, mu.normalize(v)), 0.0) / \

@@ -126,9 +126,10 @@ def fetch_material(scene, prim, bary_u, bary_v):
     the reference routes diffuse/specular/shininess through the same
     RtTexture machinery (rtcommon.h:751-753); map_Ns uses the red channel
     like the reference's phongExponentTexture.x (lighttracing.cu:133)."""
-    kd_const = scene.tri_kd[prim]
-    ks_const = scene.tri_ks[prim]
-    ns_const = scene.tri_ns[prim]
+    from evplp_tpu.core.mathutil import take_rows
+    kd_const = take_rows(scene.tri_kd, prim)
+    ks_const = take_rows(scene.tri_ks, prim)
+    ns_const = take_rows(scene.tri_ns, prim)
     if _no_textures(scene):
         return kd_const, ks_const, ns_const
     uv = _hit_uv(scene, prim, bary_u, bary_v)
@@ -140,6 +141,6 @@ def fetch_material(scene, prim, bary_u, bary_v):
             return jnp.where(layer >= 0, tex[:, 0], const)
         return jnp.where((layer >= 0)[:, None], tex, const)
 
-    return (pick(scene.tri_kd_layer[prim], kd_const),
-            pick(scene.tri_ks_layer[prim], ks_const),
-            pick(scene.tri_ns_layer[prim], ns_const, scalar=True))
+    return (pick(take_rows(scene.tri_kd_layer, prim), kd_const),
+            pick(take_rows(scene.tri_ks_layer, prim), ks_const),
+            pick(take_rows(scene.tri_ns_layer, prim), ns_const, scalar=True))

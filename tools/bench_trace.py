@@ -68,12 +68,15 @@ def workloads(scene, n_rays: int, key):
 
 
 def bench(fn, args_list, reps):
-    # warmup on the first args (compile)
-    out = fn(*args_list[0])
+    """args_list MUST contain reps+1 UNIQUE argument tuples: axon returns
+    cached results for calls with inputs identical to ANY earlier call, so
+    every timed rep needs inputs never seen before."""
+    assert len(args_list) >= reps + 1, "need reps+1 unique input variants"
+    out = fn(*args_list[0])          # warmup (compile)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(reps):
-        out = fn(*args_list[(i + 1) % len(args_list)])  # avoid caching
+        out = fn(*args_list[1 + i])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
