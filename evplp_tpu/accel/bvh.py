@@ -57,6 +57,10 @@ class BVH:
     pk4_meta: jnp.ndarray      # (N4, 8) i32
     pk_fb: jnp.ndarray         # (N, 16) f32 — children bounds, fused
     pk_fm: jnp.ndarray         # (N, 4) i32 — packed children + split axis
+    # triangle ROWS per leaf (static): leaves hold up to rpl*8 triangles in
+    # rpl consecutive 128-lane rows; bigger leaves halve the tree's internal
+    # node count (traversal is per-iteration-bound, drains are cheap)
+    rpl: int = 1
 
     @property
     def num_nodes(self) -> int:
@@ -71,11 +75,11 @@ class BVH:
                 self.node_first, self.node_count,
                 self.pk_tri_rows, self.pk_meta, self.pk_bounds,
                 self.pk_prim_map, self.pk4_bounds, self.pk4_meta,
-                self.pk_fb, self.pk_fm), None
+                self.pk_fb, self.pk_fm), self.rpl
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
-        return cls(*leaves)
+        return cls(*leaves, rpl=aux)
 
 
 jtu.register_pytree_node(BVH, BVH.tree_flatten, BVH.tree_unflatten)
@@ -243,38 +247,46 @@ def _try_native_build(v0, v1, v2, leaf_size):
         return None
 
 
-def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p):
-    """Vectorized host packing for the Pallas packet kernel (packet2.py):
-    8 triangles per 128-lane row, leaf-major; returns the pk_* arrays."""
+def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p,
+                     leaf_size: int = 8):
+    """Vectorized host packing for the Pallas packet kernels:
+    8 triangles per 128-lane row, ceil(leaf_size/8) consecutive rows per
+    leaf, leaf-major; returns the pk_* arrays."""
     n = count.shape[0]
     num_tris = v0p.shape[0]
-    assert count.max(initial=0) <= 8, \
-        "packet layout requires leaf_size <= 8"
+    rpl = -(-leaf_size // 8)
+    assert count.max(initial=0) <= rpl * 8, \
+        f"packet layout requires leaf_size <= {rpl * 8}"
     leaf_nodes = np.nonzero(count > 0)[0]
-    l = max(len(leaf_nodes), 1)
+    l = max(len(leaf_nodes), 1) * rpl
 
     leaf_row_of_node = np.zeros(n, np.int32)
-    leaf_row_of_node[leaf_nodes] = np.arange(len(leaf_nodes), dtype=np.int32)
+    leaf_row_of_node[leaf_nodes] = rpl * np.arange(len(leaf_nodes),
+                                                   dtype=np.int32)
 
     starts = first[leaf_nodes].astype(np.int64)          # (L,)
-    counts = np.minimum(count[leaf_nodes], 8).astype(np.int64)
-    k = np.arange(8, dtype=np.int64)[None, :]
-    tri_idx = starts[:, None] + k                        # (L, 8)
+    counts = np.minimum(count[leaf_nodes], rpl * 8).astype(np.int64)
+    k = np.arange(rpl * 8, dtype=np.int64)[None, :]
+    tri_idx = starts[:, None] + k                        # (L, rpl*8)
     valid = (k < counts[:, None]) & (tri_idx < num_tris)
     tri_c = np.minimum(tri_idx, num_tris - 1)
 
     e1p = v1p - v0p
     e2p = v2p - v0p
     rows = np.zeros((l, 8, 16), np.float32)
-    rows[: len(leaf_nodes), :, 0:3] = np.where(valid[..., None], v0p[tri_c], 0)
-    rows[: len(leaf_nodes), :, 3:6] = np.where(valid[..., None], e1p[tri_c], 0)
-    rows[: len(leaf_nodes), :, 6:9] = np.where(valid[..., None], e2p[tri_c], 0)
-    prim_map = np.where(valid, tri_c, -1).astype(np.int32).reshape(-1)
-    if len(leaf_nodes) == 0:
-        prim_map = np.full((l * 8,), -1, np.int32)
+    nl = len(leaf_nodes) * rpl
+    rows[:nl, :, 0:3] = np.where(valid[..., None], v0p[tri_c], 0) \
+        .reshape(-1, 8, 3)
+    rows[:nl, :, 3:6] = np.where(valid[..., None], e1p[tri_c], 0) \
+        .reshape(-1, 8, 3)
+    rows[:nl, :, 6:9] = np.where(valid[..., None], e2p[tri_c], 0) \
+        .reshape(-1, 8, 3)
+    prim_map = np.full((l * 8,), -1, np.int32)
+    prim_map[:nl * 8] = np.where(valid, tri_c, -1).astype(np.int32) \
+        .reshape(-1)
 
     meta = np.zeros((n, 4), np.int32)
-    meta[:, 0] = np.minimum(count, 8)
+    meta[:, 0] = np.minimum(count, rpl * 8)
     meta[:, 1] = np.where(count > 0, leaf_row_of_node, 0)
     internal = np.nonzero(count == 0)[0]
     right = np.zeros(n, np.int32)
@@ -294,6 +306,16 @@ def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p):
     bounds = np.zeros((n, 8), np.float32)
     bounds[:, 0:3] = nmin
     bounds[:, 3:6] = nmax
+
+    if rpl > 1:
+        # the 4-wide (packet4) and fused-row (packet5) kernels assume
+        # single-row leaves; emit dummies so they cannot be misused
+        q_bounds = np.zeros((1, 32), np.float32)
+        q_meta = np.full((1, 8), -1, np.int32)
+        fb = np.zeros((n, 16), np.float32)
+        fm = np.zeros((n, 4), np.int32)
+        return (rows.reshape(l, 128), meta, bounds, prim_map,
+                q_bounds, q_meta, fb, fm)
 
     q_bounds, q_meta = _collapse_bvh4(nmin, nmax, count, right,
                                       leaf_row_of_node)
@@ -439,7 +461,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         pack = v0.shape[0] > BRUTE_FORCE_MAX_TRIS
     if pack:
         pk = _pack_for_packet(nmin, nmax, skip, first, count,
-                              v0[perm], v1[perm], v2[perm])
+                              v0[perm], v1[perm], v2[perm],
+                              leaf_size=leaf_size)
     else:
         pk = (np.zeros((1, 128), np.float32), np.zeros((1, 4), np.int32),
               np.zeros((1, 8), np.float32), np.full((8,), -1, np.int32),
@@ -460,5 +483,6 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         pk4_meta=jnp.asarray(pk[5]),
         pk_fb=jnp.asarray(pk[6]),
         pk_fm=jnp.asarray(pk[7]),
+        rpl=-(-leaf_size // 8) if pack else 1,
     )
     return bvh, perm

@@ -137,10 +137,12 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
         position, direction, flux, active = carry
         last = b == num_records - 1
 
-        # dead paths get an empty interval: the tracer skips them entirely
+        # dead paths get an empty interval: the tracer skips them entirely;
+        # bounce rays are incoherent -> octant/cell-sorted packets
         hit = intersect_closest(scene.tris, scene.bvh, position, direction,
                                 t_min=1e-4,
-                                t_max=jnp.where(active, 3.0e38, 0.0))
+                                t_max=jnp.where(active, 3.0e38, 0.0),
+                                sort_rays=True)
         prim = jnp.maximum(hit.prim, 0)
         next_pos = position + hit.t[:, None] * direction
         geom_n = mu.take_rows(scene.tris.n, prim)

@@ -118,11 +118,12 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         k_sel, k_nee, k_lobe, k_rr = jax.random.split(kb, 4)
         last = bounce == num_bounces - 1
 
-        # dead lanes get an empty interval: the tracer skips them entirely
+        # dead lanes get an empty interval: the tracer skips them entirely;
+        # bounce directions are BRDF samples (incoherent) -> sorted packets
         hit = intersect_closest(scene.tris, scene.bvh, prev_position,
                                 direction, t_min=1e-5,
                                 t_max=jnp.where(active, 3.0e38, 0.0),
-                                tile_shape=tile_shape)
+                                sort_rays=True)
         prim = jnp.maximum(hit.prim, 0)
         hit_ok = active & hit.valid
         next_position = prev_position + hit.t[:, None] * direction

@@ -318,6 +318,47 @@ def _unswizzle(x, ht, w):
     return x.reshape((ht * w,) + x.shape[4:])
 
 
+def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
+    """Packet trace for INCOHERENT rays: sort by (direction octant, coarse
+    origin cell) so each packet's BVH working set collapses.
+
+    Unsorted incoherent packets effectively sweep most of the tree per
+    packet (measured 1.8 Mray/s at 102k tris); sorted packets trace at
+    ~14 Mray/s and the whole permutation pipeline (key + argsort + one
+    row-gather in + one row-gather out) costs ~35 ms per 1M rays — a
+    net ~4.8x.  Gathers go through ONE packed (R, 8) row gather: eight
+    separate field gathers measured 6x slower.
+    """
+    r = o.shape[0]
+    lo = bvh.node_min[0]
+    inv_ext = 1.0 / jnp.maximum(bvh.node_max[0] - lo, 1e-6)
+
+    bits = 2
+    cell = jnp.clip(((o - lo) * inv_ext * (1 << bits)).astype(jnp.int32),
+                    0, (1 << bits) - 1)
+    octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+              + (d[:, 1] < 0).astype(jnp.int32) * 2
+              + (d[:, 2] < 0).astype(jnp.int32))
+    key = ((octant << (3 * bits)) | (cell[:, 0] << (2 * bits))
+           | (cell[:, 1] << bits) | cell[:, 2])
+    perm = jnp.argsort(key, stable=True)
+
+    packed = jnp.concatenate(
+        [o, d, t_min[:, None], t_max[:, None]], axis=1)[perm]
+    t, prim, u, v = _packet_trace(
+        bvh, packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
+        any_hit, None)
+
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(r, dtype=perm.dtype))
+    out = jnp.stack(
+        [t, jax.lax.bitcast_convert_type(prim, jnp.float32), u, v],
+        axis=1)[inv]
+    return (out[:, 0],
+            jax.lax.bitcast_convert_type(out[:, 1], jnp.int32),
+            out[:, 2], out[:, 3])
+
+
 def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
     from evplp_tpu.trace.packet3 import packet3_trace
     r = o.shape[0]
@@ -336,23 +377,25 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
                               for x in (o, d, t_min, t_max))
     t, prim, u, v = packet3_trace(
         bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
-        o, d, t_min, t_max, any_hit=any_hit)
+        o, d, t_min, t_max, any_hit=any_hit, rpl=bvh.rpl)
     if sw:
         t, prim, u, v = (_unswizzle(x, ht, w)[:r]
                          for x in (t, prim, u, v))
     return t, prim, u, v
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "tile_shape"))
+@partial(jax.jit, static_argnames=("leaf_size", "tile_shape", "sort_rays"))
 def intersect_closest(tris: Triangles, bvh: BVH, o, d,
                       t_min=1e-5, t_max=BIG, leaf_size: int = 8,
-                      tile_shape=None) -> Hit:
+                      tile_shape=None, sort_rays: bool = False) -> Hit:
     """Closest hit for a batch of rays. o, d: (R, 3); t_min/t_max scalar or (R,).
 
     Dispatches by (static) scene size: dense VPU brute force for small
     scenes, Pallas packet BVH traversal otherwise.  tile_shape=(H, W): the
     rays form a row-major H x W grid — lets the packet path process square
-    screen tiles instead of raster strips.
+    screen tiles instead of raster strips.  sort_rays: permute rays by
+    (octant, origin cell) before tracing — use for INCOHERENT batches
+    (bounce rays); mutually exclusive with tile_shape.
     """
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
@@ -361,9 +404,14 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
         t, prim, u, v = _closest_brute_chunked(tris, o, d, t_min, t_max)
         return Hit(t=t, prim=prim, u=u, v=v)
     if _use_packet(tris, bvh):
-        t, prim, u, v = _packet_trace(bvh, o, d, t_min, t_max, False,
-                                      tile_shape)
+        if sort_rays and tile_shape is None:
+            t, prim, u, v = _sorted_packet_trace(bvh, o, d, t_min, t_max,
+                                                 False)
+        else:
+            t, prim, u, v = _packet_trace(bvh, o, d, t_min, t_max, False,
+                                          tile_shape)
         return Hit(t=t, prim=prim, u=u, v=v)
+    leaf_size = max(leaf_size, 8 * bvh.rpl)
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, False, leaf_size)
     )
@@ -389,6 +437,7 @@ def intersect_any(tris: Triangles, bvh: BVH, o, d,
         _, prim, _, _ = _packet_trace(bvh, o, d, t_min, t_max, True,
                                       tile_shape)
         return prim >= 0
+    leaf_size = max(leaf_size, 8 * bvh.rpl)
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, True, leaf_size)
     )

@@ -49,13 +49,42 @@ def set_interpret(interpret: bool) -> None:
     _COMPILED = not interpret
 
 
-def _kernel(any_hit: bool, npack: int, rows: int):
+def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
+            stats: bool = False):
     def kernel(bounds_ref, meta_ref, tri_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref,
                t_out, prim_out, u_out, v_out,
-               stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
-               ivx_ref, ivy_ref, ivz_ref):
+               *refs):
+        if stats:
+            out_ref = refs[0]
+            stat_out = refs[-1]     # SMEM scratch: persists across grid steps
+            refs = refs[1:-1]
+        (stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
+         ivx_ref, ivy_ref, ivz_ref,
+         bounds_s, meta_s, tri_s, dma_sem) = refs
+
+        # scene residency: the bounds/meta/tri arrays live in HBM (ANY) and
+        # are DMA'd into VMEM scratch ONCE at grid step 0 — scratch persists
+        # across the sequential grid steps, so later packets pay nothing.
+        # (auto-streamed full-array inputs were re-fetched per step:
+        # ~180 us/step at 102k tris, half the coherent-workload runtime)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for i, (src, dst) in enumerate(((bounds_ref, bounds_s),
+                                            (meta_ref, meta_s),
+                                            (tri_ref, tri_s))):
+                cp = pltpu.make_async_copy(src, dst, dma_sem)
+                cp.start()
+                cp.wait()
+        if stats:
+            # accumulate in SCRATCH (grid steps run sequentially in one
+            # kernel instance); the output block is only written at the end —
+            # writing the output every step races its double-buffered copies
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                for i in range(4):
+                    stat_out[i] = 0
         t_out[:] = tmax_ref[:]
         if any_hit:
             # empty-interval lanes (tmax <= tmin: pre-culled segments) start
@@ -106,55 +135,62 @@ def _kernel(any_hit: bool, npack: int, rows: int):
             return jnp.any(want)
 
         def drain(k, qn):
-            """Test all queued leaves of packet k; returns new qn (0)."""
+            """Test all queued leaves of packet k (fori over the ACTUAL
+            queue fill: a statically unrolled QCAP-entry drain was ~20x more
+            straight-line vector code, and instruction fetch of that body
+            dominated the whole kernel at ~200 us per grid step)."""
             sl = slice(k * rows, (k + 1) * rows)
             ox, oy, oz = ox_ref[sl], oy_ref[sl], oz_ref[sl]
             dx, dy, dz = dx_ref[sl], dy_ref[sl], dz_ref[sl]
             tmin = tmin_ref[sl]
-            best_t = t_out[sl]
-            best_p = prim_out[sl]
-            best_u = u_out[sl]
-            best_v = v_out[sl]
-            for q in range(QCAP):
+
+            def entry(q, carry):
+                best_t, best_p, best_u, best_v = carry
                 row = qrow_ref[k * QSTRIDE + q]
                 count = qcnt_ref[k * QSTRIDE + q]
-                live = q < qn
-                blk = tri_ref[jnp.where(live, row, 0), :]
-                for j in range(LEAF):
-                    b = j * SLOT
-                    v0x_, v0y_, v0z_ = blk[b], blk[b + 1], blk[b + 2]
-                    e1x_, e1y_, e1z_ = blk[b + 3], blk[b + 4], blk[b + 5]
-                    e2x_, e2y_, e2z_ = blk[b + 6], blk[b + 7], blk[b + 8]
+                for rr in range(rpl):
+                    blk = tri_s[row + rr, :]
+                    for j in range(LEAF):
+                        b = j * SLOT
+                        v0x_, v0y_, v0z_ = blk[b], blk[b + 1], blk[b + 2]
+                        e1x_, e1y_, e1z_ = blk[b + 3], blk[b + 4], blk[b + 5]
+                        e2x_, e2y_, e2z_ = blk[b + 6], blk[b + 7], blk[b + 8]
 
-                    px = dy * e2z_ - dz * e2y_
-                    py = dz * e2x_ - dx * e2z_
-                    pz = dx * e2y_ - dy * e2x_
-                    det = e1x_ * px + e1y_ * py + e1z_ * pz
-                    inv_det = jnp.where(jnp.abs(det) > TRI_EPS,
-                                        1.0 / det, 0.0)
-                    tx = ox - v0x_
-                    ty = oy - v0y_
-                    tz = oz - v0z_
-                    uu = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z_ - tz * e1y_
-                    qy = tz * e1x_ - tx * e1z_
-                    qz = tx * e1y_ - ty * e1x_
-                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                    tt = (e2x_ * qx + e2y_ * qy + e2z_ * qz) * inv_det
+                        px = dy * e2z_ - dz * e2y_
+                        py = dz * e2x_ - dx * e2z_
+                        pz = dx * e2y_ - dy * e2x_
+                        det = e1x_ * px + e1y_ * py + e1z_ * pz
+                        inv_det = jnp.where(jnp.abs(det) > TRI_EPS,
+                                            1.0 / det, 0.0)
+                        tx = ox - v0x_
+                        ty = oy - v0y_
+                        tz = oz - v0z_
+                        uu = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z_ - tz * e1y_
+                        qy = tz * e1x_ - tx * e1z_
+                        qz = tx * e1y_ - ty * e1x_
+                        vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                        tt = (e2x_ * qx + e2y_ * qy + e2z_ * qz) * inv_det
 
-                    ok = ((jnp.abs(det) > TRI_EPS) & (uu >= 0.0)
-                          & (vv >= 0.0) & (uu + vv <= 1.0)
-                          & (tt > tmin) & (tt < best_t)
-                          & (j < count) & live)
-                    slot_id = row * LEAF + j
-                    if any_hit:
-                        # occlusion only: no uv/t refinement needed
-                        best_p = jnp.where(ok & (best_p < 0), slot_id, best_p)
-                    else:
-                        best_t = jnp.where(ok, tt, best_t)
-                        best_p = jnp.where(ok, slot_id, best_p)
-                        best_u = jnp.where(ok, uu, best_u)
-                        best_v = jnp.where(ok, vv, best_v)
+                        ok = ((jnp.abs(det) > TRI_EPS) & (uu >= 0.0)
+                              & (vv >= 0.0) & (uu + vv <= 1.0)
+                              & (tt > tmin) & (tt < best_t)
+                              & (rr * LEAF + j < count))
+                        slot_id = (row + rr) * LEAF + j
+                        if any_hit:
+                            # occlusion only: no uv/t refinement needed
+                            best_p = jnp.where(ok & (best_p < 0), slot_id,
+                                               best_p)
+                        else:
+                            best_t = jnp.where(ok, tt, best_t)
+                            best_p = jnp.where(ok, slot_id, best_p)
+                            best_u = jnp.where(ok, uu, best_u)
+                            best_v = jnp.where(ok, vv, best_v)
+                return best_t, best_p, best_u, best_v
+
+            init = (t_out[sl], prim_out[sl], u_out[sl], v_out[sl])
+            best_t, best_p, best_u, best_v = jax.lax.fori_loop(
+                0, qn, entry, init)
             prim_out[sl] = best_p
             if not any_hit:
                 t_out[sl] = best_t
@@ -174,20 +210,26 @@ def _kernel(any_hit: bool, npack: int, rows: int):
             curs = list(curs)
             sps = list(sps)
             qns = list(qns)
+            if stats:
+                live_packets = jnp.int32(0)
+                for k in range(npack):
+                    live_packets = live_packets + (curs[k] >= 0).astype(
+                        jnp.int32)
+                stat_out[0] = stat_out[0] + live_packets
 
             # ---- phase 1: child tests, straight-line across packets ----
             tests = []
             for k in range(npack):
                 active = curs[k] >= 0
                 node = jnp.maximum(curs[k], 0)
-                mrow = meta_ref[node, :]
+                mrow = meta_s[node, :]
                 left = node + 1
                 right = mrow[2]
                 axis = mrow[3]
-                ml = meta_ref[left, :]
-                mr = meta_ref[jnp.maximum(right, 0), :]
-                want_l = slab(k, bounds_ref[left, :]) & active
-                want_r = slab(k, bounds_ref[jnp.maximum(right, 0), :]) & active
+                ml = meta_s[left, :]
+                mr = meta_s[jnp.maximum(right, 0), :]
+                want_l = slab(k, bounds_s[left, :]) & active
+                want_r = slab(k, bounds_s[jnp.maximum(right, 0), :]) & active
                 tests.append((left, right, axis, ml, mr, want_l, want_r))
 
             # ---- phase 2: scalar steering (dummy-slot writes, no branches)
@@ -249,6 +291,11 @@ def _kernel(any_hit: bool, npack: int, rows: int):
                 def _(k=k, qn=qns[k]):
                     if not _PROBE_SKIP_DRAIN:
                         drain(k, qn)
+                    if stats:
+                        # executed drain cost is QCAP*rpl rows regardless of
+                        # fill (dead entries still run masked); useful = qn
+                        stat_out[1] = stat_out[1] + QCAP * rpl
+                        stat_out[2] = stat_out[2] + qn * rpl
                     if any_hit:
                         sl = slice(k * rows, (k + 1) * rows)
                         hit_ref[k] = jnp.all(prim_out[sl] >= 0).astype(
@@ -268,14 +315,18 @@ def _kernel(any_hit: bool, npack: int, rows: int):
                 tuple(zero for _ in range(npack)),
                 tuple(zero for _ in range(npack)))
         jax.lax.while_loop(cond, body, init)
+        if stats:
+            for i in range(4):
+                out_ref[0, i] = stat_out[i]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("any_hit", "rows", "npack"))
+@partial(jax.jit, static_argnames=("any_hit", "rows", "npack", "rpl",
+                                   "stats"))
 def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
                   any_hit: bool = False, rows: int = ROWS,
-                  npack: int = NPACK):
+                  npack: int = NPACK, rpl: int = 1, stats: bool = False):
     """Traverse with the packed layout. Returns (t, prim, u, v) with prim
     already mapped to original triangle ids (-1 = miss)."""
     r = o.shape[0]
@@ -297,7 +348,7 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
     grid = total_rows // block_rows
     ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.ANY)
 
     out_shape = [
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32),
@@ -305,11 +356,16 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32),
     ]
-    t, slot, u, v = pl.pallas_call(
-        _kernel(any_hit, npack, rows),
+    out_specs = [ray_spec] * 4
+    if stats:
+        out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+    t, slot, u, v, *stat = pl.pallas_call(
+        _kernel(any_hit, npack, rows, rpl, stats),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((npack * STACK_DEPTH,), jnp.int32),
@@ -320,7 +376,11 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM((block_rows, LANES), jnp.float32),
-        ],
+            pltpu.VMEM(bounds.shape, bounds.dtype),
+            pltpu.VMEM(meta.shape, meta.dtype),
+            pltpu.VMEM(tri_rows.shape, tri_rows.dtype),
+            pltpu.SemaphoreType.DMA,
+        ] + ([pltpu.SMEM((4,), jnp.int32)] if stats else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=not _COMPILED,
@@ -329,4 +389,6 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
     flat = lambda x: x.reshape(-1)[:r]
     slot = flat(slot)
     prim = jnp.where(slot >= 0, prim_map[jnp.maximum(slot, 0)], -1)
+    if stats:
+        return flat(t), prim, flat(u), flat(v), stat[0]
     return flat(t), prim, flat(u), flat(v)

@@ -154,3 +154,59 @@ def test_coincident_centroids_no_fat_leaves():
     v2 = np.tile(np.asarray([[0, 1, 0]], np.float32), (50, 1))
     bvh, perm = build_bvh(v0, v1, v2, pack=True)
     assert int(jnp.max(bvh.node_count)) <= 8
+
+
+@pytest.mark.parametrize("leaf_size", [16, 32])
+def test_packet3_multirow_leaves_match_oracle(leaf_size):
+    """rpl>1 packing (16/32-triangle leaves, 2/4 rows per leaf) must give
+    identical hits — traversal halves its node count, drains expand rows."""
+    rng = np.random.default_rng(11)
+    n = 170
+    base = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    v0 = base
+    v1 = base + rng.normal(0, 0.25, (n, 3)).astype(np.float32)
+    v2 = base + rng.normal(0, 0.25, (n, 3)).astype(np.float32)
+    bvh, perm = build_bvh(v0, v1, v2, leaf_size=leaf_size, pack=True)
+    assert bvh.rpl == leaf_size // 8
+    v0, v1, v2 = v0[perm], v1[perm], v2[perm]
+    e1, e2 = v1 - v0, v2 - v0
+    nrm = np.cross(e1, e2)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    tris = Triangles(v0=jnp.asarray(v0), e1=jnp.asarray(e1),
+                     e2=jnp.asarray(e2), n=jnp.asarray(nrm.astype(np.float32)))
+
+    o, d = _rays(r=160, seed=12)
+    t, prim, u, v = packet3.packet3_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, 1e-4, 3e38, rows=4, npack=2, rpl=bvh.rpl)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+    m = np.asarray(prim >= 0)
+    np.testing.assert_array_equal(np.asarray(prim)[m], np.asarray(ref.prim)[m])
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+
+    # any-hit with the same packing
+    occ, _prim, _, _ = packet3.packet3_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, jnp.full((160,), 1e-4), jnp.full((160,), 2.0),
+        any_hit=True, rows=4, npack=2, rpl=bvh.rpl)
+    ref2 = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=2.0)
+    np.testing.assert_array_equal(np.asarray(_prim >= 0),
+                                  np.asarray(ref2.prim >= 0))
+
+
+def test_sorted_trace_equals_unsorted():
+    """_sorted_packet_trace is a pure permutation wrapper: results must be
+    lane-for-lane identical to the direct packet trace."""
+    from evplp_tpu.trace import intersect as isect
+    tris, bvh = _scene(n=200, seed=9)
+    o, d = _rays(r=300, seed=10)
+    tmin = jnp.full((300,), 1e-4)
+    tmax = jnp.full((300,), 3e38)
+    t0, p0, u0, v0 = isect._packet_trace(bvh, o, d, tmin, tmax, False, None)
+    t1, p1, u1, v1 = isect._sorted_packet_trace(bvh, o, d, tmin, tmax, False)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))

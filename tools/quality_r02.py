@@ -65,6 +65,7 @@ def run_techniques(scene):
 
 
 def run_gt(scene, iters):
+    from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
     from evplp_tpu.runtime.loop import run_pt
     os.makedirs(ART, exist_ok=True)
     job = _load(scene, "pt")
@@ -73,8 +74,16 @@ def run_gt(scene, iters):
     p.num_max_iteration, p.time_limit_ms = iters, -1.0
     t0 = time.time()
     result = run_pt(job)
+
+    # emitter mask, the reference's error-metric convention
+    # (scene/conference/README.md: exclude directly visible light source)
+    gbuf = trace_gbuffer(job.scene, p.width, p.height, None)
+    li = np.asarray(light_image(job.scene, gbuf))
+    mask = (li.sum(axis=-1) <= 0.0).reshape(p.height, p.width)
+
     np.savez_compressed(os.path.join(ART, f"{scene}_gt.npz"),
                         img=result.images["output"].astype(np.float32),
+                        mask=mask,
                         iters=result.num_iterations)
     print(f"{scene}_gt: {result.num_iterations} iters in "
           f"{time.time()-t0:.0f}s wall", flush=True)
@@ -89,6 +98,7 @@ def report():
             continue
         gt = np.load(gt_path)
         ref = gt["img"]
+        m = gt["mask"][..., None] if "mask" in gt else np.ones_like(ref[..., :1])
         for variant in VARIANTS:
             path = os.path.join(ART, f"{scene}_{variant}.npz")
             if not os.path.exists(path):
@@ -97,8 +107,8 @@ def report():
             rows.append({
                 "scene": scene, "variant": variant,
                 "iters": int(z["iters"]), "time_ms": float(z["time_ms"]),
-                "mse": mse(z["img"], ref),
-                "rel_mse": rel_mse(z["img"], ref),
+                "mse": mse(z["img"] * m, ref * m),
+                "rel_mse": rel_mse(z["img"] * m, ref * m),
                 "gt_iters": int(gt["iters"]),
             })
     print(json.dumps(rows, indent=1))
