@@ -61,6 +61,11 @@ class BVH:
     # rpl consecutive 128-lane rows; bigger leaves halve the tree's internal
     # node count (traversal is per-iteration-bound, drains are cheap)
     rpl: int = 1
+    # True -> per-triangle scene arrays are stored in SLOT order (leaf-row
+    # padded, pk_prim_map-shaped): the packet kernels' slot ids ARE the
+    # triangle ids and the per-ray prim_map gather (~7 ms per Mray on v5e)
+    # disappears; node_first is slot-based so the vmap fallback agrees
+    slot_order: bool = False
 
     @property
     def num_nodes(self) -> int:
@@ -75,11 +80,11 @@ class BVH:
                 self.node_first, self.node_count,
                 self.pk_tri_rows, self.pk_meta, self.pk_bounds,
                 self.pk_prim_map, self.pk4_bounds, self.pk4_meta,
-                self.pk_fb, self.pk_fm), self.rpl
+                self.pk_fb, self.pk_fm), (self.rpl, self.slot_order)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
-        return cls(*leaves, rpl=aux)
+        return cls(*leaves, rpl=aux[0], slot_order=aux[1])
 
 
 jtu.register_pytree_node(BVH, BVH.tree_flatten, BVH.tree_unflatten)
@@ -439,12 +444,17 @@ def _collapse_bvh4(nmin, nmax, count, right, leaf_row_of_node):
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              leaf_size: int = LEAF_SIZE, pack: bool | None = None):
-    """Build and flatten. Returns (BVH, perm) — apply perm to all
-    per-triangle arrays before upload.
+              leaf_size: int = LEAF_SIZE, pack: bool | None = None,
+              slot_order: bool = False):
+    """Build and flatten. Returns (BVH, order) — per-triangle arrays must
+    be built as X[order[i]] (order[i] == -1: padding row, use a degenerate
+    default).  Without slot_order, `order` is the classic leaf permutation.
 
     pack: include the packet-kernel layout (default: only for scenes above
-    the brute-force threshold, where the packet path is used)."""
+    the brute-force threshold, where the packet path is used).
+    slot_order: when packed, emit triangle ids in SLOT space (leaf-row
+    padded): kernels skip the slot->prim gather, node_first becomes the
+    slot of the leaf's first triangle."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -463,6 +473,13 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         pk = _pack_for_packet(nmin, nmax, skip, first, count,
                               v0[perm], v1[perm], v2[perm],
                               leaf_size=leaf_size)
+        if slot_order:
+            prim_map = pk[3]
+            order = np.where(prim_map >= 0,
+                             perm[np.maximum(prim_map, 0)], -1)
+            meta = pk[1]
+            # node_first in slot space: leaf_row * 8
+            first = np.where(count > 0, meta[:, 1] * 8, -1).astype(np.int32)
     else:
         pk = (np.zeros((1, 128), np.float32), np.zeros((1, 4), np.int32),
               np.zeros((1, 8), np.float32), np.full((8,), -1, np.int32),
@@ -484,5 +501,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         pk_fb=jnp.asarray(pk[6]),
         pk_fm=jnp.asarray(pk[7]),
         rpl=-(-leaf_size // 8) if pack else 1,
+        slot_order=bool(pack and slot_order),
     )
+    if pack and slot_order:
+        return bvh, order
     return bvh, perm

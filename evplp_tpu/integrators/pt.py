@@ -38,7 +38,8 @@ def _emit_profile(light_n, to_prev, exponent):
 
 
 def _nee(scene: SceneData, key, position, normal, inc, kd, ks, ns,
-         attenuation, chose_l, p_l, shadow_eps, live=None, tile_shape=None):
+         attenuation, chose_l, p_l, shadow_eps, live=None, tile_shape=None,
+         sort_rays=False):
     """Next-event estimation at a batch of vertices.
 
     The lobe-selection decision (chose_l) also selects which BRDF the NEE
@@ -54,7 +55,7 @@ def _nee(scene: SceneData, key, position, normal, inc, kd, ks, ns,
     to_light_n = mu.normalize(to_light)
     occluded = occluded_segment(scene.tris, scene.bvh, l_pos, position,
                                 eps=shadow_eps, live=live,
-                                tile_shape=tile_shape)
+                                tile_shape=tile_shape, sort_rays=sort_rays)
 
     g = mu.geometry_term(normal, l_n, to_light)
     emit = _emit_profile(l_n, -to_light_n, scene.light.intensity[3])
@@ -157,9 +158,11 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
 
         result = result + jnp.where(
             surface[:, None],
+            # bounce-vertex NEE segments are incoherent (scattered surface
+            # points) -> sorted packets instead of screen tiles
             _nee(scene, k_nee, next_position, geom_n, inc, kd, ks, ns,
                  attenuation, chose_l, p_l, shadow_eps=1e-5,
-                 live=surface, tile_shape=tile_shape),
+                 live=surface, tile_shape=None, sort_rays=True),
             0.0,
         )
 

@@ -79,6 +79,20 @@ class ProgressiveSchedule:
             self.vsl_radius = max(self.vsl_radius * float(np.sqrt(ratio)), 0.008)
 
 
+# The axon tunnel's block_until_ready returns before device work completes,
+# so a dispatch loop can run thousands of frames ahead of execution (the
+# backlog then wedges the final result fetch).  A tiny host FETCH is a real
+# synchronization point; do one every SYNC_EVERY iterations and only check
+# time budgets there (max overshoot: SYNC_EVERY frames, all of which did
+# execute inside the measured time).
+SYNC_EVERY = int(os.environ.get("EVPLP_SYNC_EVERY", "25"))
+
+
+def _host_sync(x):
+    """Force real completion of everything `x` depends on."""
+    np.asarray(jax.device_get(x))
+
+
 def run_photon_fam(job: RenderJob, output_dir: str | None = None,
                    splat_tile: int = 16, splat_cap: int = 65536,
                    splat_span: int = 2, max_wall_s: float | None = None,
@@ -209,14 +223,14 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
                 stem, ext = os.path.splitext(path)
                 im.save(f"{stem}_{iters}{ext}", imgs["combined"])
 
-        if p.time_limit_ms > 0:
-            jax.block_until_ready(state.vpl_acc)
+        if p.time_limit_ms > 0 and iters % SYNC_EVERY == 0:
+            _host_sync(state.dropped)
             if elapsed_ms() >= p.time_limit_ms:
                 break
         if max_wall_s is not None and elapsed_ms() >= max_wall_s * 1000.0:
             break
 
-    jax.block_until_ready(state.vpl_acc)
+    _host_sync(state.dropped)
     time_ms = elapsed_ms()
     imgs = finalize(state, cfg, iters, job, gamma=display_gamma)
 
@@ -308,14 +322,14 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
             stem, ext = os.path.splitext(path)
             im.save(f"{stem}_{iters}{ext}",
                     film.to_image(snap, job.width, job.height))
-        if p.time_limit_ms > 0:
-            jax.block_until_ready(acc)
+        if p.time_limit_ms > 0 and iters % SYNC_EVERY == 0:
+            _host_sync(acc[0])
             if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
                 break
         if max_wall_s is not None and (time.perf_counter() - t0) >= max_wall_s:
             break
 
-    jax.block_until_ready(acc)
+    _host_sync(acc[0])
     time_ms = (time.perf_counter() - t0) * 1000.0
 
     param = 1.0 / max(iters, 1) if accumulate else 1.0

@@ -144,11 +144,25 @@ def build_scene(
     bb_max = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
     bounding_radius = float(np.linalg.norm(bb_max - bb_min) * 0.5)
 
-    bvh, perm = build_bvh(v0, v1, v2)
-    v0, v1, v2 = v0[perm], v1[perm], v2[perm]
-    kd, ks, ns, is_light = kd[perm], ks[perm], ns[perm], is_light[perm]
-    uv0, uv1, uv2, kd_layer = uv0[perm], uv1[perm], uv2[perm], kd_layer[perm]
-    ks_layer, ns_layer = ks_layer[perm], ns_layer[perm]
+    # slot order: per-triangle arrays live in the packet layout's padded
+    # slot space (leaf_row*8 + j), so the Pallas kernels' slot ids ARE the
+    # triangle ids — no slot->prim gather per traced ray.  For small
+    # (unpacked) scenes `order` degenerates to the classic permutation.
+    bvh, order = build_bvh(v0, v1, v2, slot_order=True)
+    valid = order >= 0
+    oi = np.maximum(order, 0)
+
+    def take(x, pad=0.0):
+        y = np.array(x[oi])
+        y[~valid] = pad
+        return y
+
+    v0, v1, v2 = take(v0), take(v1), take(v2)
+    kd, ks, ns = take(kd), take(ks), take(ns)
+    is_light = take(is_light, False)
+    uv0, uv1, uv2 = take(uv0), take(uv1), take(uv2)
+    kd_layer = take(kd_layer, -1)
+    ks_layer, ns_layer = take(ks_layer, -1), take(ns_layer, -1)
 
     e1 = v1 - v0
     e2 = v2 - v0

@@ -359,8 +359,16 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
             out[:, 2], out[:, 3])
 
 
+# packet kernel implementation switch (A/B): "packet3" = one grid step per
+# ray block; "packet6" = fused grid (internal block loop + manual DMA)
+PACKET_IMPL = "packet3"
+
+
 def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
-    from evplp_tpu.trace.packet3 import packet3_trace
+    if PACKET_IMPL == "packet6":
+        from evplp_tpu.trace.packet6 import packet6_trace as packet3_trace
+    else:
+        from evplp_tpu.trace.packet3 import packet3_trace
     r = o.shape[0]
     sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
           and tile_shape[1] % SWIZZLE_TW == 0)
@@ -375,8 +383,9 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
             ht += pad_rows
         o, d, t_min, t_max = (_swizzle(x, ht, w)
                               for x in (o, d, t_min, t_max))
+    pm = None if bvh.slot_order else bvh.pk_prim_map
     t, prim, u, v = packet3_trace(
-        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
         o, d, t_min, t_max, any_hit=any_hit, rpl=bvh.rpl)
     if sw:
         t, prim, u, v = (_unswizzle(x, ht, w)[:r]
@@ -419,23 +428,28 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
     return Hit(t=t, prim=prim, u=u, v=v)
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "tile_shape"))
+@partial(jax.jit, static_argnames=("leaf_size", "tile_shape", "sort_rays"))
 def intersect_any(tris: Triangles, bvh: BVH, o, d,
                   t_min=1e-5, t_max=BIG, leaf_size: int = 8,
-                  tile_shape=None):
+                  tile_shape=None, sort_rays: bool = False):
     """True where any primitive lies in (t_min, t_max) along the ray.
 
     Lanes with an empty interval (t_max <= t_min, e.g. pre-culled shadow
     segments) are never traced and report True (callers mask them anyway);
-    pre-culling this way speeds the packet path up substantially."""
+    pre-culling this way speeds the packet path up substantially.
+    sort_rays: octant/cell-sort incoherent batches (see intersect_closest)."""
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     if tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         return _any_brute_chunked(tris, o, d, t_min, t_max)
     if _use_packet(tris, bvh):
-        _, prim, _, _ = _packet_trace(bvh, o, d, t_min, t_max, True,
-                                      tile_shape)
+        if sort_rays and tile_shape is None:
+            _, prim, _, _ = _sorted_packet_trace(bvh, o, d, t_min, t_max,
+                                                 True)
+        else:
+            _, prim, _, _ = _packet_trace(bvh, o, d, t_min, t_max, True,
+                                          tile_shape)
         return prim >= 0
     leaf_size = max(leaf_size, 8 * bvh.rpl)
     f = jax.vmap(
@@ -447,7 +461,7 @@ def intersect_any(tris: Triangles, bvh: BVH, o, d,
 
 def occluded_segment(tris: Triangles, bvh: BVH, p_from, p_to,
                      eps: float = 1e-4, leaf_size: int = 8,
-                     live=None, tile_shape=None):
+                     live=None, tile_shape=None, sort_rays: bool = False):
     """Segment occlusion the reference's way (lighttracing.cu:290-294):
     origin = p_from, unnormalized dir = p_to - p_from, t in (eps, 1-eps).
 
@@ -459,7 +473,7 @@ def occluded_segment(tris: Triangles, bvh: BVH, p_from, p_to,
         t_max = jnp.where(live, jnp.float32(1.0 - eps), jnp.float32(0.0))
     return intersect_any(tris, bvh, p_from, d,
                          t_min=eps, t_max=t_max, leaf_size=leaf_size,
-                         tile_shape=tile_shape)
+                         tile_shape=tile_shape, sort_rays=sort_rays)
 
 
 @jax.jit

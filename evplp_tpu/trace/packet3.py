@@ -388,7 +388,10 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
 
     flat = lambda x: x.reshape(-1)[:r]
     slot = flat(slot)
-    prim = jnp.where(slot >= 0, prim_map[jnp.maximum(slot, 0)], -1)
+    if prim_map is None:     # slot-ordered scene: slot IS the triangle id
+        prim = slot
+    else:
+        prim = jnp.where(slot >= 0, prim_map[jnp.maximum(slot, 0)], -1)
     if stats:
         return flat(t), prim, flat(u), flat(v), stat[0]
     return flat(t), prim, flat(u), flat(v)

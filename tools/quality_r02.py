@@ -22,6 +22,13 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/evplp_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 ART = "/root/repo/bench_artifacts/quality_r02"
 CONFIGS = "/root/repo/configs"
 VARIANTS = ("pt", "pm", "vpl", "vsl", "ours", "ours_progressive")
@@ -77,9 +84,9 @@ def run_gt(scene, iters):
 
     # emitter mask, the reference's error-metric convention
     # (scene/conference/README.md: exclude directly visible light source)
-    gbuf = trace_gbuffer(job.scene, p.width, p.height, None)
+    gbuf = trace_gbuffer(job.scene, job.width, job.height, None)
     li = np.asarray(light_image(job.scene, gbuf))
-    mask = (li.sum(axis=-1) <= 0.0).reshape(p.height, p.width)
+    mask = (li.sum(axis=-1) <= 0.0).reshape(job.height, job.width)
 
     np.savez_compressed(os.path.join(ART, f"{scene}_gt.npz"),
                         img=result.images["output"].astype(np.float32),

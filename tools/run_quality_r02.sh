@@ -1,9 +1,8 @@
 #!/bin/bash
-# Round-2 quality protocol: ground truths + all technique variants,
-# sequentially (one TPU). ~40 min total.
+# Round-2 quality protocol: technique variants + glossy ground truth.
 set -x
 cd /root/repo
-python tools/quality_r02.py gt glossy 4000
 python tools/quality_r02.py run cornell
 python tools/quality_r02.py run glossy
+python tools/quality_r02.py gt glossy 4000
 python tools/quality_r02.py report
