@@ -65,18 +65,23 @@ def evplp_rate(scene, frames_budget_s=30.0, max_frames=10):
             jnp.float32(radius), jnp.float32(clamp), jnp.float32(pdf_mc),
             jnp.float32(0.0))
 
+    def real_sync(st):
+        # the axon tunnel's block_until_ready can return before device work
+        # completes; a host FETCH of a dependent scalar cannot
+        np.asarray(jax.device_get(st.dropped))
+
     state = frame(state, 0)                      # compile
-    jax.block_until_ready(state.vpl_acc)
+    real_sync(state)
     t0 = time.perf_counter()
     state = frame(state, 1)
-    jax.block_until_ready(state.vpl_acc)
+    real_sync(state)
     per_frame = time.perf_counter() - t0
     frames = max(1, min(max_frames, int(frames_budget_s / max(per_frame, 1e-3))))
 
     t0 = time.perf_counter()
     for i in range(frames):
         state = frame(state, 2 + i)
-    jax.block_until_ready(state.vpl_acc)
+    real_sync(state)
     elapsed = time.perf_counter() - t0
 
     n_px = RES * RES
@@ -140,12 +145,12 @@ def main():
     n_px = RES * RES
     acc = jnp.zeros((n_px, 3), jnp.float32)
     acc = pt_frame(acc, iteration_key(1, 0))
-    jax.block_until_ready(acc)
+    np.asarray(jax.device_get(acc[0]))
     t0 = time.perf_counter()
     pt_frames = 10
     for i in range(pt_frames):
         acc = pt_frame(acc, iteration_key(1, 1 + i))
-    jax.block_until_ready(acc)
+    np.asarray(jax.device_get(acc[0]))          # real completion fence
     pt_elapsed = time.perf_counter() - t0
     pt_rays = n_px * (1 + NUM_BOUNCES * 2)
     pt_mrays = pt_rays * pt_frames / pt_elapsed / 1e6

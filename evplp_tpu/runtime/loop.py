@@ -223,10 +223,21 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
                 stem, ext = os.path.splitext(path)
                 im.save(f"{stem}_{iters}{ext}", imgs["combined"])
 
-        if p.time_limit_ms > 0 and iters % SYNC_EVERY == 0:
-            _host_sync(state.dropped)
-            if elapsed_ms() >= p.time_limit_ms:
-                break
+        if p.time_limit_ms > 0:
+            if iters % SYNC_EVERY == 0:
+                # REAL fence: the approximate clock below under-counts for
+                # fast frames (dispatch runs ahead of execution)
+                _host_sync(state.dropped)
+                if elapsed_ms() >= p.time_limit_ms:
+                    break
+            else:
+                # approximate early-out for SLOW frames (settled queue:
+                # block_until_ready tracks real time closely there)
+                jax.block_until_ready(state.vpl_acc)
+                if elapsed_ms() >= p.time_limit_ms * 1.2:
+                    _host_sync(state.dropped)
+                    if elapsed_ms() >= p.time_limit_ms:
+                        break
         if max_wall_s is not None and elapsed_ms() >= max_wall_s * 1000.0:
             break
 
@@ -322,10 +333,17 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
             stem, ext = os.path.splitext(path)
             im.save(f"{stem}_{iters}{ext}",
                     film.to_image(snap, job.width, job.height))
-        if p.time_limit_ms > 0 and iters % SYNC_EVERY == 0:
-            _host_sync(acc[0])
-            if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
-                break
+        if p.time_limit_ms > 0:
+            if iters % SYNC_EVERY == 0:
+                _host_sync(acc[0])
+                if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
+                    break
+            else:
+                jax.block_until_ready(acc)
+                if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms * 1.2:
+                    _host_sync(acc[0])
+                    if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
+                        break
         if max_wall_s is not None and (time.perf_counter() - t0) >= max_wall_s:
             break
 

@@ -25,6 +25,17 @@ class PassTimer:
         self.ms = defaultdict(float)
         self.calls = defaultdict(int)
 
+    @staticmethod
+    def _real_sync(values):
+        """Fetch one scalar of the first array leaf: on the axon tunnel,
+        block_until_ready can return before device work completes — only a
+        host FETCH of a dependent value is a true completion fence."""
+        import numpy as np
+        for leaf in jax.tree_util.tree_leaves(values):
+            if hasattr(leaf, "ravel"):
+                np.asarray(jax.device_get(leaf.ravel()[:1]))
+                return
+
     @contextlib.contextmanager
     def span(self, name: str, *sync_values):
         if not self.enabled:
@@ -32,8 +43,7 @@ class PassTimer:
             return
         t0 = time.perf_counter()
         yield
-        for v in sync_values:
-            jax.block_until_ready(v)
+        self._real_sync(sync_values)
         self.ms[name] += (time.perf_counter() - t0) * 1000.0
         self.calls[name] += 1
 
@@ -42,7 +52,7 @@ class PassTimer:
             return fn(*args, **kwargs)
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        self._real_sync(out)
         self.ms[name] += (time.perf_counter() - t0) * 1000.0
         self.calls[name] += 1
         return out
