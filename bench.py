@@ -51,7 +51,7 @@ def evplp_rate(scene, frames_budget_s=30.0, max_frames=10):
         num_light_paths=NUM_LIGHT_PATHS,
         num_vpl_light_paths=NUM_VPL_PATHS,
         num_records=records, mis_mode=1, accumulate=True, use_jitter=True,
-        splat_tile=16, splat_cap=65536, splat_span=2,
+        splat_tile=16, splat_cap=1 << 20, splat_span=2,
     )
     radius = scene.bounding_radius * 0.003
     pdf_mc = (NUM_VPL_PATHS / NUM_LIGHT_PATHS) / float(jnp.pi) / (radius * radius)

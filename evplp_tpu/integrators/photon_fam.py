@@ -53,7 +53,10 @@ class PhotonFamConfig:
     force_vsl: bool = False
     lvc: bool = False
     splat_tile: int = 16
-    splat_cap: int = 65536
+    # cap is a lossless-path bound per tile: the bulk pass handles
+    # cap_bulk pairs/tile densely, the overflow pass drains the rest at
+    # per-pair cost, so a large cap costs nothing unless actually hit
+    splat_cap: int = 1 << 20
     splat_span: int = 2
 
 

@@ -292,7 +292,7 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
     starts = jnp.searchsorted(stid, jnp.arange(total_tiles + 1,
                                                dtype=jnp.int32))
     counts = jnp.diff(starts)
-    dropped = jnp.sum(jnp.maximum(counts - cap, 0))
+    dropped = jnp.int32(0)   # accounted per level (bulk + overflow)
     n_pairs = stid.shape[0]
 
     cam = jnp.asarray(scene.camera.origin, jnp.float32)
@@ -302,14 +302,28 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
 
     # per-level occupancy: chunks run only to the actual max occupancy
     ck = min(16, cap)
+    # bulk/overflow split: the bulk pass is dense over ALL tiles up to a
+    # DYNAMIC per-level cap (the k_over/2-th largest tile count), so at
+    # most k_over/2 hot tiles remain; those are gathered into a compact
+    # batch and drained at per-pair cost.  A concentrated light can put
+    # 1M pairs into one 16-px tile: a static cap either drops pairs or
+    # pays max-occupancy x all-tiles in the dense loop.
+    k_over = 64
 
     img = jnp.zeros((height * width, 3), jnp.float32)
     for li, (t, txn, tyn, o) in enumerate(grids):
         nt = txn * tyn
         starts_l = jax.lax.dynamic_slice(starts, (o,), (nt,))
         counts_l = jax.lax.dynamic_slice(counts, (o,), (nt,))
-        ends_l = starts_l + jnp.minimum(counts_l, cap)
-        needed = jnp.max(counts_l, initial=0)
+        if nt <= k_over:
+            # few huge tiles (coarse levels): the dense loop is already
+            # per-pair cost; no overflow split
+            cap_bulk = jnp.int32(cap)
+        else:
+            cap_bulk = jnp.clip(jnp.sort(counts_l)[nt - k_over // 2],
+                                16, cap)
+        ends_l = starts_l + jnp.minimum(counts_l, cap_bulk)
+        needed = jnp.minimum(jnp.max(counts_l, initial=0), cap_bulk)
 
         # pixel side: block layout (nt, t*t) via pad + reshape
         wp, hp = txn * t, tyn * t
@@ -336,7 +350,7 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
 
         def cond(carry):
             c, _ = carry
-            return c * ck < jnp.minimum(needed, cap)
+            return c * ck < needed
 
         def body(carry, starts_l=starts_l, ends_l=ends_l, px_pos=px_pos,
                  px_n=px_n, px_kd=px_kd, px_ks=px_ks, px_ns=px_ns,
@@ -359,6 +373,58 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
 
         acc0 = jnp.zeros((nt, t * t, 3), jnp.float32)
         _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+
+        # ---- overflow pass: hot tiles beyond cap_bulk ----
+        # (k capped by the level's tile count: the coarse levels have few,
+        # HUGE tiles — 64 slots of the whole-film level would be GBs)
+        k_ov = min(k_over, nt)
+        over = counts_l > cap_bulk
+        oidx = jnp.nonzero(over, size=k_ov, fill_value=nt)[0]
+        # by construction at most k_over//2 tiles exceed the dynamic cap
+        # (plus ties), so the k_ov slots cover them all
+        tile_ok = oidx < nt
+        oidx_c = jnp.minimum(oidx, nt - 1)
+        o_starts = starts_l[oidx_c] + cap_bulk
+        o_ends = starts_l[oidx_c] + jnp.minimum(counts_l[oidx_c], cap)
+        o_ends = jnp.where(tile_ok, o_ends, o_starts)
+        # overflow beyond the k_over hottest-first tiles or beyond cap is
+        # counted as dropped (cap is a runaway guard; k_over tiles cover
+        # any physical light layout)
+        total_over = jnp.sum(
+            jnp.minimum(jnp.maximum(counts_l - cap_bulk, 0), cap - cap_bulk))
+        handled_over = jnp.sum(o_ends - o_starts)
+        dropped = dropped + (total_over - handled_over)
+
+        opx = {  # gathered pixel blocks of the overflowing tiles
+            "pos": px_pos[oidx_c], "n": px_n[oidx_c], "kd": px_kd[oidx_c],
+            "ks": px_ks[oidx_c], "ns": px_ns[oidx_c], "w10": px_w10[oidx_c],
+            "st": px_st[oidx_c] * tile_ok[:, None],
+        }
+        needed_o = jnp.max(o_ends - o_starts, initial=0)
+
+        def cond_o(carry):
+            c, _ = carry
+            return c * ck < needed_o
+
+        def body_o(carry):
+            c, acc_o = carry
+            slot = o_starts[:, None] + c * ck + jnp.arange(ck,
+                                                           dtype=jnp.int32)
+            ok = slot < o_ends[:, None]
+            g = sphoton[jnp.minimum(slot, n_pairs - 1)]
+            rec = {k: v[g][:, :, None, ...] for k, v in ph.items()}
+            rec["gate"] = rec["gate"] & ok[:, :, None]
+            contrib = _splat_eval(rec, opx["pos"][:, None],
+                                  opx["n"][:, None], opx["kd"][:, None],
+                                  opx["ks"][:, None], opx["ns"][:, None],
+                                  opx["w10"][:, None], opx["st"][:, None],
+                                  r2, kde, mis_mode, clamping_value)
+            return c + 1, acc_o + jnp.sum(contrib, axis=1)
+
+        acc_o0 = jnp.zeros((k_ov, t * t, 3), jnp.float32)
+        _, acc_o = jax.lax.while_loop(cond_o, body_o, (jnp.int32(0), acc_o0))
+        acc = acc.at[oidx_c].add(
+            jnp.where(tile_ok[:, None, None], acc_o, 0.0))
 
         # unblockify -> (H*W, 3) and accumulate into the image
         lvl = acc.reshape(tyn, txn, t, t, 3).transpose(0, 2, 1, 3, 4)

@@ -182,26 +182,19 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
     return jnp.where(gate[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("num_vsl_paths", "tile_shape"))
-def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
-               vsl_radius, num_vsl_paths: int,
-               pixel_offset=0, tile_shape=None) -> jnp.ndarray:
-    """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722).
-
-    pixel_offset: global id of gbuf's first pixel (row-sharded runs)."""
+def _records_of(pm: PhotonMap, num_vsl_paths: int):
     flat = pm.slice_paths(num_vsl_paths).flat()
-    cam = jnp.asarray(scene.camera.origin, jnp.float32)
-    wi10 = mu.normalize(cam[None, :] - gbuf.position)
-    vsl_inv_pi_r2 = mu.INV_PI / (vsl_radius * vsl_radius)
-    pixel_ids = pixel_offset + jnp.arange(gbuf.position.shape[0],
-                                          dtype=jnp.int32)
-
-    records = {
+    return {
         "pos": flat.pos, "normal": flat.normal, "flux": flat.flux,
         "flux_dir": flat.flux_dir, "kd": flat.kd, "ks": flat.ks,
         "ns": flat.ns, "p_select": flat.p_select, "flags": flat.flags,
     }
 
+
+@partial(jax.jit, static_argnames=("tile_shape",))
+def _vsl_scan(scene: SceneData, gbuf: GBuffer, records, key, i0,
+              vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc0,
+              tile_shape=None):
     def step(carry, xs):
         acc, i = carry
         rec = xs
@@ -212,6 +205,50 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                               tile_shape=tile_shape)
         return (acc + contrib, i + 1), None
 
-    acc0 = jnp.zeros_like(gbuf.position)
-    (acc, _), _ = jax.lax.scan(step, (acc0, jnp.int32(0)), records)
+    (acc, _), _ = jax.lax.scan(step, (acc0, i0), records)
+    return acc
+
+
+# Records dispatched per device program on the single-device path.  One
+# program over all 120 reference-scale records can run tens of seconds
+# (adaptive cone sampling maxes out near the light) and trips the remote
+# runtime's execution watchdog; chunked dispatch keeps programs short.
+VSL_RECORD_CHUNK = 8
+
+
+def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
+               vsl_radius, num_vsl_paths: int,
+               pixel_offset=0, tile_shape=None,
+               record_chunk: int | None = VSL_RECORD_CHUNK) -> jnp.ndarray:
+    """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722).
+
+    pixel_offset: global id of gbuf's first pixel (row-sharded runs).
+    record_chunk: None -> one fused scan (required inside shard_map);
+    an int -> python-driven chunks of that many records per dispatch."""
+    records = _records_of(pm, num_vsl_paths)
+    cam = jnp.asarray(scene.camera.origin, jnp.float32)
+    wi10 = mu.normalize(cam[None, :] - gbuf.position)
+    vsl_inv_pi_r2 = mu.INV_PI / (vsl_radius * vsl_radius)
+    pixel_ids = pixel_offset + jnp.arange(gbuf.position.shape[0],
+                                          dtype=jnp.int32)
+    m = records["pos"].shape[0]
+    acc = jnp.zeros_like(gbuf.position)
+
+    if record_chunk is None or record_chunk >= m:
+        acc = _vsl_scan(scene, gbuf, records, key, jnp.int32(0),
+                        vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc,
+                        tile_shape=tile_shape)
+        return acc / float(num_vsl_paths)
+
+    # pad the record count to a chunk multiple (flags=0 rows contribute 0)
+    pad = (-m) % record_chunk
+    if pad:
+        records = {k: jnp.concatenate(
+            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+            for k, v in records.items()}
+    for c in range(0, m + pad, record_chunk):
+        chunk = {k: v[c:c + record_chunk] for k, v in records.items()}
+        acc = _vsl_scan(scene, gbuf, chunk, key, jnp.int32(c),
+                        vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc,
+                        tile_shape=tile_shape)
     return acc / float(num_vsl_paths)

@@ -125,7 +125,8 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
                                          jax.random.fold_in(key, 2),
                                          vsl_radius, n_vpl,
                                          pixel_offset=d * n_local,
-                                         tile_shape=(rows, cfg.width))
+                                         tile_shape=(rows, cfg.width),
+                                         record_chunk=None)
                 else:
                     pm_vpl = trace_light_paths(scene, key_lt, n_vpl,
                                                cfg.num_records, path_offset=0)

@@ -94,7 +94,7 @@ def _host_sync(x):
 
 
 def run_photon_fam(job: RenderJob, output_dir: str | None = None,
-                   splat_tile: int = 16, splat_cap: int = 65536,
+                   splat_tile: int = 16, splat_cap: int = 1 << 20,
                    splat_span: int = 2, max_wall_s: float | None = None,
                    progress_every: int = 20,
                    checkpoint_path: str | None = None,
@@ -223,11 +223,12 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
                 stem, ext = os.path.splitext(path)
                 im.save(f"{stem}_{iters}{ext}", imgs["combined"])
 
+        if iters % SYNC_EVERY == 0:
+            # REAL fence every few frames even without a budget: an
+            # unbounded dispatch queue wedges the tunnel's final fetch
+            _host_sync(state.dropped)
         if p.time_limit_ms > 0:
             if iters % SYNC_EVERY == 0:
-                # REAL fence: the approximate clock below under-counts for
-                # fast frames (dispatch runs ahead of execution)
-                _host_sync(state.dropped)
                 if elapsed_ms() >= p.time_limit_ms:
                     break
             else:
@@ -333,9 +334,10 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
             stem, ext = os.path.splitext(path)
             im.save(f"{stem}_{iters}{ext}",
                     film.to_image(snap, job.width, job.height))
+        if iters % SYNC_EVERY == 0:
+            _host_sync(acc[0])
         if p.time_limit_ms > 0:
             if iters % SYNC_EVERY == 0:
-                _host_sync(acc[0])
                 if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
                     break
             else:

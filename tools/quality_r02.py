@@ -83,10 +83,19 @@ def run_gt(scene, iters):
     result = run_pt(job)
 
     # emitter mask, the reference's error-metric convention
-    # (scene/conference/README.md: exclude directly visible light source)
+    # (scene/conference/README.md: exclude directly visible light source —
+    # "no AA on lightsource", so edge pixels are poisoned too: dilate)
     gbuf = trace_gbuffer(job.scene, job.width, job.height, None)
     li = np.asarray(light_image(job.scene, gbuf))
-    mask = (li.sum(axis=-1) <= 0.0).reshape(job.height, job.width)
+    lit = (li.sum(axis=-1) > 0.0).reshape(job.height, job.width)
+    for _ in range(2):
+        d = lit.copy()
+        d[1:, :] |= lit[:-1, :]
+        d[:-1, :] |= lit[1:, :]
+        d[:, 1:] |= lit[:, :-1]
+        d[:, :-1] |= lit[:, 1:]
+        lit = d
+    mask = ~lit
 
     np.savez_compressed(os.path.join(ART, f"{scene}_gt.npz"),
                         img=result.images["output"].astype(np.float32),
