@@ -123,7 +123,10 @@ def kernel_check(scene, n_rays=8192):
 
 def main():
     big = box_field(num_boxes=BIG_SCENE_BOXES)
-    n_tris = int(big.tris.v0.shape[0])
+    # slot-ordered scenes pad triangles to the packet layout; report the
+    # REAL triangle count (padding rows are degenerate and never hit)
+    n_tris = int((big.bvh.pk_prim_map >= 0).sum()) \
+        if big.bvh.slot_order else int(big.tris.v0.shape[0])
     check = kernel_check(big)
 
     mrays_big, ms_big, frames_big, dropped_big = evplp_rate(big)
