@@ -100,10 +100,12 @@ def _ray_tri(o, d, v0, e1, e2):
 
 def _use_packet(tris: Triangles, bvh) -> bool:
     """Large-scene strategy selection (trace-time static): the Pallas packet
-    kernel (packed VMEM layout, trace/packet2.py) on TPU-like backends when
-    the BVH carries the packed mirror (~200k tris fit), vmapped while_loop
-    traversal elsewhere (CPU tests, giant scenes)."""
-    if tris.v0.shape[0] > 200_000 or not bvh.has_packed:
+    kernel (packed VMEM layout) on TPU-like backends when the BVH carries
+    the packed mirror, vmapped while_loop traversal elsewhere (CPU tests,
+    giant scenes).  The cap is VMEM-resident scene data (tri rows +
+    bounds + meta, plus compiler temporaries): ~300k triangles compiles
+    inside v5e's 128 MB VMEM; 414k measured 132.5 MB (OOM)."""
+    if tris.v0.shape[0] > 300_000 or not bvh.has_packed:
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
