@@ -154,24 +154,33 @@ def glossy_box(light_intensity=(200.0, 190.0, 160.0, 0.0),
 
 
 def box_field_spec(num_boxes: int = 2000, seed: int = 0,
-                   light_intensity=(40.0, 38.0, 30.0, 0.0)) -> dict:
+                   light_intensity=(40.0, 38.0, 30.0, 0.0),
+                   room_scale: float = 1.0) -> dict:
     """Large scene for BVH-path benchmarking: a field of random boxes
-    (~12*num_boxes triangles) in a Cornell-style room with a ceiling light."""
+    (~12*num_boxes triangles) in a Cornell-style room with a ceiling light.
+
+    room_scale stretches the room floor plan (x/z) so triangle count can
+    grow at CONSTANT box density: with room_scale = sqrt(n/8500) an
+    n-box field has the same boxes-per-area as the 102k-triangle
+    headline scene (a fixed room at high counts degenerates into box
+    fog, which measures scene hardness rather than tracer scaling)."""
     rng = np.random.default_rng(seed)
     groups = []
+    w = 4.0 * room_scale
 
     room_quads = [
-        ("floor", ([0, 0, 0], [0, 0, 4], [4, 0, 4], [4, 0, 0])),
-        ("ceiling", ([0, 2, 0], [4, 2, 0], [4, 2, 4], [0, 2, 4])),
-        ("back", ([0, 0, 0], [4, 0, 0], [4, 2, 0], [0, 2, 0])),
-        ("left", ([0, 0, 0], [0, 2, 0], [0, 2, 4], [0, 0, 4])),
-        ("right", ([4, 0, 0], [4, 0, 4], [4, 2, 4], [4, 2, 0])),
+        ("floor", ([0, 0, 0], [0, 0, w], [w, 0, w], [w, 0, 0])),
+        ("ceiling", ([0, 2, 0], [w, 2, 0], [w, 2, w], [0, 2, w])),
+        ("back", ([0, 0, 0], [w, 0, 0], [w, 2, 0], [0, 2, 0])),
+        ("left", ([0, 0, 0], [0, 2, 0], [0, 2, w], [0, 0, w])),
+        ("right", ([w, 0, 0], [w, 0, w], [w, 2, w], [w, 2, 0])),
     ]
     for name, quad in room_quads:
         pos, idx = _quad(*quad)
         groups.append((name, pos, idx, (0.7, 0.7, 0.7), (0.0, 0.0, 0.0), 0.0))
 
-    centers = rng.uniform([0.2, 0.0, 0.2], [3.8, 1.0, 3.8], (num_boxes, 3))
+    centers = rng.uniform([0.2, 0.0, 0.2], [w - 0.2, 1.0, w - 0.2],
+                          (num_boxes, 3))
     sizes = rng.uniform(0.02, 0.08, (num_boxes, 3))
     pos_list, idx_list = [], []
     off = 0
@@ -185,17 +194,20 @@ def box_field_spec(num_boxes: int = 2000, seed: int = 0,
                    (0.4, 0.45, 0.6), (0.2, 0.2, 0.2), 15.0))
 
     ly = 1.99
-    light = _quad([1.6, ly, 1.6], [2.4, ly, 1.6],
-                  [2.4, ly, 2.4], [1.6, ly, 2.4])
-    camera = dict(origin=[2.0, 1.2, 7.0], direction=[2.0, 0.8, 0.0],
+    cx = w / 2.0
+    light = _quad([cx - 0.4, ly, cx - 0.4], [cx + 0.4, ly, cx - 0.4],
+                  [cx + 0.4, ly, cx + 0.4], [cx - 0.4, ly, cx + 0.4])
+    camera = dict(origin=[cx, 1.2, w + 3.0], direction=[cx, 0.8, 0.0],
                   up=[0.0, 1.0, 0.0], fovy=35.0)
     return dict(groups=groups, light=light,
                 intensity=tuple(light_intensity), camera=camera)
 
 
 def box_field(num_boxes: int = 2000, seed: int = 0,
-              light_intensity=(40.0, 38.0, 30.0, 0.0)) -> SceneData:
-    return _build(box_field_spec(num_boxes, seed, light_intensity))
+              light_intensity=(40.0, 38.0, 30.0, 0.0),
+              room_scale: float = 1.0) -> SceneData:
+    return _build(box_field_spec(num_boxes, seed, light_intensity,
+                                 room_scale))
 
 
 def plane_light_scene(light_intensity=(5.0, 5.0, 5.0, 0.0)) -> SceneData:
