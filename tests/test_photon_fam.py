@@ -157,3 +157,33 @@ def test_balance_mis_combination_is_complete():
     c = _center()
     np.testing.assert_allclose(np.asarray(comb / frames)[c],
                                np.asarray(full / frames)[c], rtol=0.25)
+
+
+def test_tiled_splat_hot_tile_overflow_equals_dense():
+    """Force the bulk/overflow split: photons CLUSTERED into a few screen
+    tiles on a film with >64 tiles (the dynamic bulk cap bottoms out and
+    the compact overflow batch drains the hot tiles) — must still equal
+    the dense oracle with zero drops."""
+    import dataclasses
+    res = 64
+    scene = cornell_box()
+    gbuf = trace_gbuffer(scene, res, res)
+    pm = trace_light_paths(scene, iteration_key(7, 0), 512, 4)
+    # cluster every record at one visible surface point (floor center):
+    # all pairs land in a couple of 4-px tiles of the 16x16 tile grid
+    floor_p = jnp.asarray([0.5, 0.0, 0.5], jnp.float32)
+    pos = jnp.broadcast_to(floor_p, pm.pos.shape) \
+        + 1e-3 * jax.random.normal(iteration_key(7, 1), pm.pos.shape)
+    pm = dataclasses.replace(pm, pos=pos)
+
+    radius = jnp.float32(0.05)
+    for mis_mode in (1, 4):
+        args = (radius, mis_mode, jnp.float32(2.0), jnp.float32(0.5),
+                jnp.float32(1.0 / 512))
+        dense = np.asarray(photon_splat_dense(scene, gbuf, pm, *args))
+        tiled, dropped = photon_splat_tiled(
+            scene, gbuf, pm, *args, res, res, None,
+            tile=4, cap=8192, span=16)
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(tiled), dense,
+                                   rtol=1e-4, atol=1e-6)
