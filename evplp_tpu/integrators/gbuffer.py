@@ -17,7 +17,7 @@ import jax.tree_util as jtu
 
 from evplp_tpu.core import mathutil as mu
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.scene.textures import fetch_material
+from evplp_tpu.scene.textures import fetch_hit_shading
 from evplp_tpu.trace.intersect import intersect_closest
 
 
@@ -62,9 +62,9 @@ def trace_gbuffer(scene: SceneData, width: int, height: int,
     prim = jnp.maximum(hit.prim, 0)
 
     position = o + hit.t[:, None] * d
-    normal = mu.take_rows(scene.tris.n, prim)
-    kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
-    is_light = mu.take_rows(scene.tri_is_light, prim) & valid
+    kd, ks, ns, normal, is_light_row = fetch_hit_shading(
+        scene, prim, hit.u, hit.v)
+    is_light = is_light_row & valid
 
     zero3 = jnp.zeros_like(position)
     return GBuffer(

@@ -27,7 +27,7 @@ from evplp_tpu.core import mathutil as mu
 from evplp_tpu.core.light import light_sample
 from evplp_tpu.core.sampling import uniform_not_one
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.scene.textures import fetch_material
+from evplp_tpu.scene.textures import fetch_hit_shading
 from evplp_tpu.trace.intersect import intersect_closest
 
 FLAG_VPL = 1
@@ -145,13 +145,13 @@ def trace_light_paths(scene: SceneData, key, num_paths: int,
                                 sort_rays=True)
         prim = jnp.maximum(hit.prim, 0)
         next_pos = position + hit.t[:, None] * direction
-        geom_n = mu.take_rows(scene.tris.n, prim)
+        kd, ks, ns, geom_n, is_light = fetch_hit_shading(
+            scene, prim, hit.u, hit.v)
 
         # rejections (lighttracing.cu:124,143): backface, emitter, black
         ok = active & hit.valid
         ok = ok & (mu.dot(geom_n, direction) <= 0.0)
-        ok = ok & ~mu.take_rows(scene.tri_is_light, prim)
-        kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
+        ok = ok & ~is_light
         ok = ok & ~brdf.is_black(kd, ks)
 
         p_l = brdf.p_select_lambert(kd, ks)

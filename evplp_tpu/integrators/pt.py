@@ -27,7 +27,7 @@ from evplp_tpu.core.light import light_pdf_a, light_sample
 from evplp_tpu.core.sampling import uniform_not_one
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.scene.textures import fetch_material
+from evplp_tpu.scene.textures import fetch_hit_shading
 from evplp_tpu.trace.intersect import intersect_closest, occluded_segment
 
 
@@ -128,13 +128,14 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         prim = jnp.maximum(hit.prim, 0)
         hit_ok = active & hit.valid
         next_position = prev_position + hit.t[:, None] * direction
-        geom_n = mu.take_rows(scene.tris.n, prim)
+        kd, ks, ns, geom_n, is_light_row = fetch_hit_shading(
+            scene, prim, hit.u, hit.v)
 
         backface = mu.dot(geom_n, direction) > 0.0
         hit_ok = hit_ok & ~backface
 
         # emitter hit: MIS-weighted emission, then terminate
-        is_light = mu.take_rows(scene.tri_is_light, prim) & hit_ok
+        is_light = is_light_row & hit_ok
         to_prev = mu.normalize(prev_position - next_position)
         v = next_position - prev_position
         pdf_w2a = jnp.maximum(-mu.dot(geom_n, mu.normalize(v)), 0.0) / \
@@ -145,7 +146,6 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         result = result + jnp.where(is_light[:, None], emission, 0.0)
 
         surface = hit_ok & ~is_light
-        kd, ks, ns = fetch_material(scene, prim, hit.u, hit.v)
         black = brdf.is_black(kd, ks)
         # the last bounce collects emission only (no NEE, no continuation:
         # prd.done is set before the last rtTrace in the reference)

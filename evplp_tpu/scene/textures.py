@@ -121,17 +121,21 @@ def fetch_kd(scene, prim, bary_u, bary_v) -> jnp.ndarray:
     return jnp.where((layer >= 0)[:, None], tex, kd_const)
 
 
-def fetch_material(scene, prim, bary_u, bary_v):
-    """(kd, ks, ns) at a hit with all three channels optionally textured —
-    the reference routes diffuse/specular/shininess through the same
-    RtTexture machinery (rtcommon.h:751-753); map_Ns uses the red channel
-    like the reference's phongExponentTexture.x (lighttracing.cu:133)."""
-    from evplp_tpu.core.mathutil import take_rows
-    kd_const = take_rows(scene.tri_kd, prim)
-    ks_const = take_rows(scene.tri_ks, prim)
-    ns_const = take_rows(scene.tri_ns, prim)
+def fetch_hit_shading(scene, prim, bary_u, bary_v):
+    """(kd, ks, ns, normal, is_light) at a hit batch via ONE row gather of
+    the packed tri_shade table — ten separate per-field gathers measured
+    ~6x slower on TPU (XLA gathers are row-oriented).  Texture channels
+    (map_Kd/map_Ks/map_Ns) overlay the constants exactly as the reference
+    routes them through RtTexture (rtcommon.h:751-753; map_Ns uses the
+    red channel like phongExponentTexture.x, lighttracing.cu:133)."""
+    row = scene.tri_shade[prim]               # (N, 16) single gather
+    kd = row[:, 0:3]
+    ks = row[:, 3:6]
+    ns = row[:, 6]
+    is_light = row[:, 7] > 0.5
+    normal = row[:, 8:11]
     if _no_textures(scene):
-        return kd_const, ks_const, ns_const
+        return kd, ks, ns, normal, is_light
     uv = _hit_uv(scene, prim, bary_u, bary_v)
 
     def pick(layer, const, scalar=False):
@@ -141,6 +145,14 @@ def fetch_material(scene, prim, bary_u, bary_v):
             return jnp.where(layer >= 0, tex[:, 0], const)
         return jnp.where((layer >= 0)[:, None], tex, const)
 
-    return (pick(take_rows(scene.tri_kd_layer, prim), kd_const),
-            pick(take_rows(scene.tri_ks_layer, prim), ks_const),
-            pick(take_rows(scene.tri_ns_layer, prim), ns_const, scalar=True))
+    kd_l = row[:, 11].astype(jnp.int32)
+    ks_l = row[:, 12].astype(jnp.int32)
+    ns_l = row[:, 13].astype(jnp.int32)
+    return (pick(kd_l, kd), pick(ks_l, ks), pick(ns_l, ns, scalar=True),
+            normal, is_light)
+
+
+def fetch_material(scene, prim, bary_u, bary_v):
+    """(kd, ks, ns) at a hit — see fetch_hit_shading."""
+    kd, ks, ns, _, _ = fetch_hit_shading(scene, prim, bary_u, bary_v)
+    return kd, ks, ns
