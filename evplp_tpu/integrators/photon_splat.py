@@ -390,8 +390,7 @@ def photon_splat_tiled(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
         # overflow beyond the k_over hottest-first tiles or beyond cap is
         # counted as dropped (cap is a runaway guard; k_over tiles cover
         # any physical light layout)
-        total_over = jnp.sum(
-            jnp.minimum(jnp.maximum(counts_l - cap_bulk, 0), cap - cap_bulk))
+        total_over = jnp.sum(jnp.maximum(counts_l - cap_bulk, 0))
         handled_over = jnp.sum(o_ends - o_starts)
         dropped = dropped + (total_over - handled_over)
 

@@ -82,15 +82,52 @@ class ProgressiveSchedule:
 # The axon tunnel's block_until_ready returns before device work completes,
 # so a dispatch loop can run thousands of frames ahead of execution (the
 # backlog then wedges the final result fetch).  A tiny host FETCH is a real
-# synchronization point; do one every SYNC_EVERY iterations and only check
-# time budgets there (max overshoot: SYNC_EVERY frames, all of which did
-# execute inside the measured time).
-SYNC_EVERY = int(os.environ.get("EVPLP_SYNC_EVERY", "25"))
+# synchronization point; do one at most every SYNC_EVERY iterations.
+SYNC_EVERY = max(1, int(os.environ.get("EVPLP_SYNC_EVERY", "25")))
 
 
 def _host_sync(x):
     """Force real completion of everything `x` depends on."""
     np.asarray(jax.device_get(x))
+
+
+class BudgetPacer:
+    """Equal-time stop condition with adaptive sync cadence.
+
+    Real host fences cost a tunnel round-trip, so they run at most every
+    SYNC_EVERY frames — but a fixed cadence lets slow techniques overshoot
+    a time budget by up to a whole sync interval (the reference checks its
+    budget every frame, rtcomphoton.h:938-941).  The pacer schedules the
+    NEXT fence from the measured frame rate: far from the budget it syncs
+    every SYNC_EVERY frames, near the budget every frame, so overshoot is
+    bounded by ~one frame for every technique regardless of frame cost.
+    """
+
+    def __init__(self, time_limit_ms: float, t0: float):
+        self.time_limit_ms = time_limit_ms
+        self.t0 = t0
+        self.next_sync = 1        # sync after the first frame: seeds the est
+        self.last_now = 0.0
+        self.last_iters = 0
+
+    def should_stop(self, iters: int, sync_value) -> bool:
+        """Call once per frame with a device value to fence on. Returns
+        True when the budget is exhausted (measured at a REAL fence)."""
+        if iters < self.next_sync:
+            return False
+        _host_sync(sync_value)
+        now = (time.perf_counter() - self.t0) * 1000.0
+        if self.time_limit_ms > 0 and now >= self.time_limit_ms:
+            return True
+        frame_ms = (now - self.last_now) / max(iters - self.last_iters, 1)
+        self.last_now, self.last_iters = now, iters
+        if self.time_limit_ms > 0:
+            remaining = self.time_limit_ms - now
+            step = int(remaining / max(frame_ms, 1e-3) * 0.5)
+            self.next_sync = iters + max(1, min(SYNC_EVERY, step))
+        else:
+            self.next_sync = iters + SYNC_EVERY
+        return False
 
 
 def run_photon_fam(job: RenderJob, output_dir: str | None = None,
@@ -171,6 +208,7 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         state = shard_state(state, mesh)
     t0 = time.perf_counter()
     prev_ms = 0.0
+    pacer = BudgetPacer(p.time_limit_ms, t0)
 
     def elapsed_ms():
         return (time.perf_counter() - t0) * 1000.0
@@ -223,22 +261,8 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
                 stem, ext = os.path.splitext(path)
                 im.save(f"{stem}_{iters}{ext}", imgs["combined"])
 
-        if iters % SYNC_EVERY == 0:
-            # REAL fence every few frames even without a budget: an
-            # unbounded dispatch queue wedges the tunnel's final fetch
-            _host_sync(state.dropped)
-        if p.time_limit_ms > 0:
-            if iters % SYNC_EVERY == 0:
-                if elapsed_ms() >= p.time_limit_ms:
-                    break
-            else:
-                # approximate early-out for SLOW frames (settled queue:
-                # block_until_ready tracks real time closely there)
-                jax.block_until_ready(state.vpl_acc)
-                if elapsed_ms() >= p.time_limit_ms * 1.2:
-                    _host_sync(state.dropped)
-                    if elapsed_ms() >= p.time_limit_ms:
-                        break
+        if pacer.should_stop(iters, state.dropped):
+            break
         if max_wall_s is not None and elapsed_ms() >= max_wall_s * 1000.0:
             break
 
@@ -321,6 +345,7 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
     light = jnp.zeros((n, 3), jnp.float32)
     iters = 0
     t0 = time.perf_counter()
+    pacer = BudgetPacer(p.time_limit_ms, t0)
     while True:
         if iters == p.num_max_iteration:
             break
@@ -334,18 +359,8 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
             stem, ext = os.path.splitext(path)
             im.save(f"{stem}_{iters}{ext}",
                     film.to_image(snap, job.width, job.height))
-        if iters % SYNC_EVERY == 0:
-            _host_sync(acc[0])
-        if p.time_limit_ms > 0:
-            if iters % SYNC_EVERY == 0:
-                if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
-                    break
-            else:
-                jax.block_until_ready(acc)
-                if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms * 1.2:
-                    _host_sync(acc[0])
-                    if (time.perf_counter() - t0) * 1000.0 >= p.time_limit_ms:
-                        break
+        if pacer.should_stop(iters, acc[0]):
+            break
         if max_wall_s is not None and (time.perf_counter() - t0) >= max_wall_s:
             break
 

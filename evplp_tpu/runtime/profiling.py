@@ -27,14 +27,15 @@ class PassTimer:
 
     @staticmethod
     def _real_sync(values):
-        """Fetch one scalar of the first array leaf: on the axon tunnel,
+        """Fetch one scalar of EVERY array leaf: on the axon tunnel,
         block_until_ready can return before device work completes — only a
-        host FETCH of a dependent value is a true completion fence."""
+        host FETCH of a dependent value is a true completion fence.  A span
+        can cover several independently dispatched computations, so fencing
+        only the first leaf would leave later-enqueued work unmeasured."""
         import numpy as np
         for leaf in jax.tree_util.tree_leaves(values):
             if hasattr(leaf, "ravel"):
                 np.asarray(jax.device_get(leaf.ravel()[:1]))
-                return
 
     @contextlib.contextmanager
     def span(self, name: str, *sync_values):

@@ -353,12 +353,11 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
 
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(r, dtype=perm.dtype))
-    out = jnp.stack(
-        [t, jax.lax.bitcast_convert_type(prim, jnp.float32), u, v],
-        axis=1)[inv]
-    return (out[:, 0],
-            jax.lax.bitcast_convert_type(out[:, 1], jnp.int32),
-            out[:, 2], out[:, 3])
+    # prim is unsorted as int32 directly (one extra small gather): routing
+    # it through a float32 bitcast would turn -1 into a NaN payload and
+    # small ids into denormals, betting that no TPU pass canonicalizes them
+    out = jnp.stack([t, u, v], axis=1)[inv]
+    return out[:, 0], prim[inv], out[:, 1], out[:, 2]
 
 
 # packet kernel implementation switch (A/B): "packet3" = one grid step per
@@ -367,10 +366,20 @@ PACKET_IMPL = "packet3"
 
 
 def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
-    if PACKET_IMPL == "packet6":
-        from evplp_tpu.trace.packet6 import packet6_trace as packet3_trace
+    pm = None if bvh.slot_order else bvh.pk_prim_map
+    if (PACKET_IMPL == "packet4" and bvh.rpl == 1
+            and bvh.pk4_meta.shape[0] > 1):
+        from evplp_tpu.trace.packet4 import packet4_trace
+        kern = partial(packet4_trace, bvh.pk_tri_rows, bvh.pk4_bounds,
+                       bvh.pk4_meta, pm)
+    elif PACKET_IMPL == "packet6":
+        from evplp_tpu.trace.packet6 import packet6_trace
+        kern = partial(packet6_trace, bvh.pk_tri_rows, bvh.pk_meta,
+                       bvh.pk_bounds, pm, rpl=bvh.rpl)
     else:
         from evplp_tpu.trace.packet3 import packet3_trace
+        kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
+                       bvh.pk_bounds, pm, rpl=bvh.rpl)
     r = o.shape[0]
     sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
           and tile_shape[1] % SWIZZLE_TW == 0)
@@ -385,10 +394,7 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
             ht += pad_rows
         o, d, t_min, t_max = (_swizzle(x, ht, w)
                               for x in (o, d, t_min, t_max))
-    pm = None if bvh.slot_order else bvh.pk_prim_map
-    t, prim, u, v = packet3_trace(
-        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
-        o, d, t_min, t_max, any_hit=any_hit, rpl=bvh.rpl)
+    t, prim, u, v = kern(o, d, t_min, t_max, any_hit=any_hit)
     if sw:
         t, prim, u, v = (_unswizzle(x, ht, w)[:r]
                          for x in (t, prim, u, v))

@@ -317,5 +317,8 @@ def packet4_trace(tri_rows, qb, qm, prim_map, o, d, t_min, t_max,
 
     flat = lambda x: x.reshape(-1)[:r]
     slot = flat(slot)
-    prim = jnp.where(slot >= 0, prim_map[jnp.maximum(slot, 0)], -1)
+    if prim_map is None:     # slot-ordered scene: slot IS the triangle id
+        prim = slot
+    else:
+        prim = jnp.where(slot >= 0, prim_map[jnp.maximum(slot, 0)], -1)
     return flat(t), prim, flat(u), flat(v)
