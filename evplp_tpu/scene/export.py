@@ -20,36 +20,68 @@ import numpy as np
 
 
 def _write_obj(path: str, groups, mtl_name: str):
-    """groups: list of (material_name, positions (V,3), indices (T,3))."""
+    """groups: list of (material_name, positions (V,3), indices (T,3))
+    or (..., uv (V,2)) — with uv, faces are written as v/vt pairs."""
     with open(path, "w") as f:
         f.write(f"mtllib {mtl_name}\n")
-        offset = 1
-        for name, pos, idx in groups:
+        v_off = 1
+        vt_off = 1
+        for g in groups:
+            name, pos, idx = g[0], g[1], g[2]
+            uv = g[3] if len(g) > 3 else None
             f.write(f"o {name}\n")
             np.savetxt(f, np.asarray(pos, np.float64), fmt="v %.6f %.6f %.6f")
             f.write(f"usemtl {name}\n")
-            np.savetxt(f, np.asarray(idx, np.int64) + offset,
-                       fmt="f %d %d %d")
-            offset += len(pos)
+            idx = np.asarray(idx, np.int64)
+            if uv is None:
+                np.savetxt(f, idx + v_off, fmt="f %d %d %d")
+            else:
+                np.savetxt(f, np.asarray(uv, np.float64), fmt="vt %.6f %.6f")
+                for t in idx:
+                    f.write("f " + " ".join(
+                        f"{v + v_off}/{v + vt_off}" for v in t) + "\n")
+                vt_off += len(uv)
+            v_off += len(pos)
 
 
 def _write_mtl(path: str, mats):
-    """mats: list of (name, kd, ks, ns) — ns written PRE-division
+    """mats: list of (name, kd, ks, ns[, map_kd]) — ns written PRE-division
     (the loader divides by 4 like Assimp, rtcommon.h:55-64)."""
     with open(path, "w") as f:
-        for name, kd, ks, ns in mats:
+        for m in mats:
+            name, kd, ks, ns = m[0], m[1], m[2], m[3]
             f.write(f"newmtl {name}\n")
             f.write(f"Kd {kd[0]} {kd[1]} {kd[2]}\n")
             f.write(f"Ks {ks[0]} {ks[1]} {ks[2]}\n")
-            f.write(f"Ns {ns * 4.0}\n\n")
+            f.write(f"Ns {ns * 4.0}\n")
+            if len(m) > 4 and m[4]:
+                f.write(f"map_Kd {m[4]}\n")
+            f.write("\n")
 
 
 def write_spec_obj(out_dir: str, name: str, spec: dict):
     """Write a procedural spec (scene/procedural.py) as <name>.obj/.mtl +
-    <name>_lights.obj/.mtl; returns the two OBJ paths."""
+    <name>_lights.obj/.mtl (+ texture PNGs for groups with map_kd);
+    returns the two OBJ paths."""
     os.makedirs(out_dir, exist_ok=True)
-    groups = [(g[0], g[1], g[2]) for g in spec["groups"]]
-    mats = [(g[0], g[3], g[4], g[5]) for g in spec["groups"]]
+    tex_files = {}
+    for tname, img in spec.get("textures", {}).items():
+        from PIL import Image
+        fn = f"{name}_{tname}.png"
+        arr = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+        # loader flips vertically on read (stb convention); pre-flip so a
+        # config-loaded scene matches the in-memory spec build exactly
+        Image.fromarray((arr[::-1] * 255.0 + 0.5).astype(np.uint8)).save(
+            os.path.join(out_dir, fn))
+        tex_files[tname] = fn
+
+    groups, mats = [], []
+    for g in spec["groups"]:
+        extra = g[6] if len(g) > 6 else {}
+        uv = extra.get("uv")
+        groups.append((g[0], g[1], g[2]) + ((uv,) if uv is not None else ()))
+        mats.append((g[0], g[3], g[4], g[5],
+                     tex_files.get(extra.get("map_kd"))))
 
     obj = os.path.join(out_dir, f"{name}.obj")
     _write_obj(obj, groups, f"{name}.mtl")
@@ -136,14 +168,16 @@ VARIANTS = ("pt", "pm", "vpl", "vsl", "ours")
 
 def write_reference_matrix(out_dir: str, res=(1280, 720),
                            time_limit_ms: float = 15000.0) -> list[str]:
-    """The shipped configs/ tree: 3 scenes x 10 variants, reference
-    protocol parameters."""
+    """The shipped configs/ tree: 4 scenes x 10 variants, reference
+    protocol parameters (reference: scene/{conference,livingroom,buddha},
+    10 configs each; livingroom here exercises map_Kd end-to-end)."""
     from evplp_tpu.scene.procedural import (box_field_spec, cornell_spec,
-                                            glossy_spec)
+                                            glossy_spec, livingroom_spec)
     specs = {
         "cornell": cornell_spec(),
         "glossy": glossy_spec(),
         "box_field": box_field_spec(),
+        "livingroom": livingroom_spec(),
     }
     paths = []
     for scene, spec in specs.items():

@@ -47,7 +47,11 @@ def _box(lo, hi):
 
 
 def _build(spec, aspect: float = 1.0) -> SceneData:
-    """SceneData from a spec dict (groups, light, intensity, camera)."""
+    """SceneData from a spec dict (groups, light, intensity, camera).
+
+    A group is (name, pos, idx, kd, ks, ns) with an optional 7th dict of
+    extras: {"uv": (V, 2) texcoords, "map_kd": texture-name}; texture
+    images live in spec["textures"][name] as (H, W, 3) float arrays."""
     cam = spec["camera"]
     camera = Camera(
         origin=tuple(cam["origin"]), look_at=tuple(cam["direction"]),
@@ -55,6 +59,18 @@ def _build(spec, aspect: float = 1.0) -> SceneData:
     )
     groups = spec["groups"]
     lpos, lidx = spec["light"]
+
+    from evplp_tpu.scene.textures import TexturePoolBuilder
+    pool = TexturePoolBuilder()
+    tex_layer = {name: pool.add_image(np.asarray(img, np.float32))
+                 for name, img in spec.get("textures", {}).items()}
+    uv_list, kd_layers = [], []
+    for g in groups:
+        extra = g[6] if len(g) > 6 else {}
+        uv_list.append(extra.get("uv"))
+        kd_layers.append(tex_layer.get(extra.get("map_kd"), -1))
+    tex_data, tex_size = pool.build()
+
     return build_scene(
         positions_list=[g[1] for g in groups],
         indices_list=[g[2] for g in groups],
@@ -64,6 +80,8 @@ def _build(spec, aspect: float = 1.0) -> SceneData:
         light_positions=lpos, light_indices=lidx,
         light_intensity=np.asarray(spec["intensity"], np.float32),
         camera=camera,
+        uv_list=uv_list, kd_layer_list=kd_layers,
+        tex_data=tex_data, tex_size=tex_size,
     )
 
 
@@ -151,6 +169,121 @@ def glossy_spec(light_intensity=(200.0, 190.0, 160.0, 0.0),
 def glossy_box(light_intensity=(200.0, 190.0, 160.0, 0.0),
                floor_exponent: float = 80.0) -> SceneData:
     return _build(glossy_spec(light_intensity, floor_exponent))
+
+
+def _checker_texture(n: int = 256, tiles: int = 8,
+                     c0=(0.72, 0.66, 0.55), c1=(0.32, 0.25, 0.18)):
+    """Checkerboard (H, W, 3) float image (parquet-style floor)."""
+    y, x = np.mgrid[0:n, 0:n]
+    cell = ((x * tiles // n) + (y * tiles // n)) % 2
+    img = np.where(cell[..., None] > 0, np.asarray(c1, np.float32),
+                   np.asarray(c0, np.float32))
+    return img.astype(np.float32)
+
+
+def _wood_texture(n: int = 256, rings: float = 9.0,
+                  base=(0.45, 0.29, 0.16), dark=(0.27, 0.16, 0.08)):
+    """Concentric-ring wood grain (H, W, 3) float image."""
+    y, x = np.mgrid[0:n, 0:n] / n
+    r = np.sqrt((x - 0.3) ** 2 + 4.0 * (y - 0.5) ** 2)
+    w = 0.5 + 0.5 * np.sin(2 * np.pi * rings * r + 3.0 * x)
+    img = (np.asarray(base, np.float32)[None, None]
+           + w[..., None] * (np.asarray(dark, np.float32)
+                             - np.asarray(base, np.float32)))
+    return img.astype(np.float32)
+
+
+def livingroom_spec(light_intensity=(30.0, 28.0, 24.0, 0.0)) -> dict:
+    """Two-room apartment with a doorway and TEXTURED surfaces (map_Kd):
+    the third quality-protocol scene (reference: scene/livingroom/).
+
+    Room A (camera + ceiling light): checker parquet floor, sofa, glossy
+    wood coffee table, sideboard.  Room B behind a dividing wall with a
+    1 m doorway: lit only through the door — multi-room occlusion where
+    unclamped VPL fireflies and PT both struggle.
+    """
+    W, H, D = 5.0, 2.5, 4.0          # x extent, height, z extent
+    wall_x = 2.9                     # divider plane (room A: x < wall_x)
+    door_z0, door_z1, door_h = 1.4, 2.4, 2.0
+
+    groups = []
+    white = (0.68, 0.68, 0.66)
+
+    def add(name, pos, idx, kd, ks=(0, 0, 0), ns=0.0, extra=None):
+        groups.append((name, pos, idx, kd, ks, ns)
+                      + ((extra,) if extra else ()))
+
+    # floor with checker texture, uv ~1.6 tiles/m (REPEAT wrap)
+    fpos, fidx = _quad([0, 0, 0], [0, 0, D], [W, 0, D], [W, 0, 0])
+    fuv = np.asarray([[0, 0], [0, D * 1.6], [W * 1.6, D * 1.6],
+                      [W * 1.6, 0]], np.float32)
+    add("floor", fpos, fidx, (1.0, 1.0, 1.0), (0.06, 0.06, 0.06), 6.0,
+        {"uv": fuv, "map_kd": "parquet"})
+
+    cpos, cidx = _quad([0, H, 0], [W, H, 0], [W, H, D], [0, H, D])
+    add("ceiling", cpos, cidx, white)
+    for name, quad, kd in [
+        ("back", ([0, 0, 0], [W, 0, 0], [W, H, 0], [0, H, 0]), white),
+        ("front", ([0, 0, D], [0, H, D], [W, H, D], [W, 0, D]), white),
+        ("left", ([0, 0, 0], [0, H, 0], [0, H, D], [0, 0, D]),
+         (0.55, 0.28, 0.20)),                       # terracotta accent
+        ("right", ([W, 0, 0], [W, 0, D], [W, H, D], [W, H, 0]),
+         (0.35, 0.45, 0.55)),                       # slate accent
+    ]:
+        pos, idx = _quad(*quad)
+        add(name, pos, idx, kd)
+
+    # dividing wall: three slabs around the doorway (thin box, two faces)
+    for i, (z0, z1, y0, y1) in enumerate([
+            (0.0, door_z0, 0.0, H),          # below-door-z segment
+            (door_z1, D, 0.0, H),            # above-door-z segment
+            (door_z0, door_z1, door_h, H)]):  # lintel over the door
+        pos, idx = _box([wall_x - 0.05, y0, z0], [wall_x + 0.05, y1, z1])
+        add(f"divider{i}", pos, idx, white)
+
+    # --- room A furnishings ---
+    for i, (lo, hi) in enumerate([
+            ([0.25, 0.0, 2.6], [1.45, 0.45, 3.35]),   # sofa seat
+            ([0.25, 0.45, 3.20], [1.45, 1.00, 3.50]),  # sofa back
+            ([0.25, 0.45, 2.60], [0.45, 0.75, 3.20]),  # armrest
+            ([1.25, 0.45, 2.60], [1.45, 0.75, 3.20])]):
+        pos, idx = _box(lo, hi)
+        add(f"sofa{i}", pos, idx, (0.30, 0.34, 0.50))
+    # coffee table: glossy wood top + legs
+    tpos, tidx = _box([1.65, 0.42, 2.45], [2.45, 0.50, 3.15])
+    nuv = np.zeros((tpos.shape[0], 2), np.float32)
+    nuv[:, 0] = (tpos[:, 0] - 1.65) / 0.8
+    nuv[:, 1] = (tpos[:, 2] - 2.45) / 0.7
+    add("tabletop", tpos, tidx, (1.0, 1.0, 1.0), (0.25, 0.25, 0.25), 25.0,
+        {"uv": nuv, "map_kd": "wood"})
+    for i, (lx, lz) in enumerate([(1.70, 2.50), (2.35, 2.50),
+                                  (1.70, 3.05), (2.35, 3.05)]):
+        pos, idx = _box([lx, 0.0, lz], [lx + 0.06, 0.42, lz + 0.06])
+        add(f"leg{i}", pos, idx, (0.20, 0.12, 0.07))
+    # sideboard along the back wall
+    pos, idx = _box([0.3, 0.0, 0.1], [1.8, 0.8, 0.55])
+    add("sideboard", pos, idx, (0.50, 0.36, 0.24), (0.1, 0.1, 0.1), 12.0)
+
+    # --- room B (through the door): bed + shelf, indirect-lit ---
+    pos, idx = _box([3.4, 0.0, 0.4], [4.8, 0.5, 2.4])
+    add("bed", pos, idx, (0.58, 0.55, 0.48))
+    pos, idx = _box([3.1, 0.0, 3.3], [4.9, 1.5, 3.8])
+    add("wardrobe", pos, idx, (0.42, 0.30, 0.20))
+
+    # ceiling light in room A
+    ly = H - 0.01
+    light = _quad([1.0, ly, 1.2], [1.9, ly, 1.2],
+                  [1.9, ly, 2.1], [1.0, ly, 2.1])   # faces -y
+    camera = dict(origin=[0.55, 1.5, 3.7], direction=[3.4, 0.8, 1.3],
+                  up=[0.0, 1.0, 0.0], fovy=55.0)
+    return dict(groups=groups, light=light,
+                intensity=tuple(light_intensity), camera=camera,
+                textures={"parquet": _checker_texture(),
+                          "wood": _wood_texture()})
+
+
+def livingroom(light_intensity=(30.0, 28.0, 24.0, 0.0)) -> SceneData:
+    return _build(livingroom_spec(light_intensity))
 
 
 def box_field_spec(num_boxes: int = 2000, seed: int = 0,
