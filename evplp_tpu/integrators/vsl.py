@@ -3,9 +3,17 @@ a translation of Hasan's vsl.fx; enabled by forceVsl + vslRadiusPercentage).
 
 Per (pixel, VSL) pair: one shadow segment, then a cone-solid-angle MC
 integral with 3-strategy MIS (uniform-cone, eye-BRDF, light-BRDF), with the
-reference's adaptive sample count numSamples = int(halfCone*200/pi)+1 — here
-evaluated as a fixed MAX_VSL_SAMPLES loop with per-lane masking (TPU needs
-static shapes), which computes the identical estimator.
+reference's adaptive sample count numSamples = int(halfCone*200/pi)+1.
+
+TPU shape: the adaptive count is per (pixel, record), but a SIMD batch's
+sample loop runs to the batch MAX — one near pixel makes every pixel pay
+~101 steps.  Fix (pixel_sort): pixels are permuted ONCE per frame by their
+aggregate difficulty (sum of numSamples over all records — pure vector
+math), each record's sample loop then runs per CHUNK of the sorted order
+with that chunk's own bound, and fully-occluded or far chunks exit after
+1-2 steps.  Per-pixel RNG is counter-based on the GLOBAL pixel id, so the
+sorted evaluation draws the same numbers and the estimator is EXACTLY the
+unsorted one (tests assert equality).
 
 Reference quirks kept for estimator parity:
   * MIS weights use the CUDA LambertPdfW *without* the 1/pi factor
@@ -29,6 +37,7 @@ from evplp_tpu.scene.scene import SceneData
 from evplp_tpu.trace.intersect import occluded_segment
 
 MAX_VSL_SAMPLES = 101  # halfCone <= pi/2 -> numSamples <= 101
+SORT_CHUNKS = 16       # sorted-pixel chunks (own sample bound each)
 
 
 def _combined_eval_f(out, inc, n, kd, ks, ns):
@@ -49,22 +58,20 @@ def _pdf_brdf2(rec, wi12, p_l_shading):
                                rec["ks"][None, :], rec["ns"]))
 
 
-def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
-                tile_shape=None):
-    """One VSL record vs all pixels: (N, 3).
+def _num_samples_of(rec_pos, positions, vsl_radius):
+    """The reference's adaptive count as f(distance) (lighttracing.cu:
+    621-632): numSamples = int(halfCone * 200/pi) + 1."""
+    v12 = rec_pos[None, :] - positions
+    d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
+    rdratio = vsl_radius / jnp.sqrt(d2)
+    half_cone = jnp.where(rdratio >= 1.0, jnp.pi / 2.0,
+                          jnp.arcsin(jnp.minimum(rdratio, 1.0)))
+    return (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1
 
-    pkeys: per-pixel RNG keys (counter-based on the GLOBAL pixel id, so a
-    row-sharded run draws the same numbers as the single-device run)."""
-    n = gbuf.position.shape[0]
 
-    def pdraw(s, tag, width=None):
-        if width is None:
-            f = lambda k: jax.random.uniform(
-                jax.random.fold_in(jax.random.fold_in(k, s), tag))
-        else:
-            f = lambda k: jax.random.uniform(
-                jax.random.fold_in(jax.random.fold_in(k, s), tag), (width,))
-        return jax.vmap(f)(pkeys)
+def _record_ctx(scene, gbuf, rec, vsl_radius, vsl_inv_pi_r2, wi10,
+                tile_shape, sort_rays):
+    """Per-(pixel, record) quantities + the shadow segment trace."""
     v12 = rec["pos"][None, :] - gbuf.position
     d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
     dist = jnp.sqrt(d2)
@@ -78,8 +85,7 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
     occ = occluded_segment(
         scene.tris, scene.bvh,
         jnp.broadcast_to(rec["pos"], gbuf.position.shape), gbuf.position,
-        eps=1e-4, live=pre, tile_shape=tile_shape)
-
+        eps=1e-4, live=pre, tile_shape=tile_shape, sort_rays=sort_rays)
     gate = pre & ~occ
 
     rdratio = vsl_radius / dist
@@ -87,86 +93,114 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
                           jnp.arcsin(jnp.minimum(rdratio, 1.0)))
     cos_half = jnp.cos(half_cone)
     solid_angle = 2.0 * jnp.pi * (1.0 - cos_half)
-    inv_sa = 1.0 / jnp.maximum(solid_angle, 1e-12)
-    num_samples = (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1
+    return {
+        "nv12": nv12,
+        "gate": gate,
+        "half_cone": half_cone,
+        "cos_half": cos_half,
+        "solid_angle": solid_angle,
+        "inv_sa": 1.0 / jnp.maximum(solid_angle, 1e-12),
+        "num_samples": (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1,
+        "p_l": brdf.p_select_lambert(gbuf.kd, gbuf.ks),
+        "black1": brdf.is_black(gbuf.kd, gbuf.ks),
+        "wi10": wi10,
+        "pos": gbuf.position, "n": gbuf.normal,
+        "kd": gbuf.kd, "ks": gbuf.ks, "ns": gbuf.ns,
+    }
 
-    p_l = brdf.p_select_lambert(gbuf.kd, gbuf.ks)
-    black1 = brdf.is_black(gbuf.kd, gbuf.ks)
-    p_l2 = brdf.p_select_lambert(rec["kd"][None, :], rec["ks"][None, :])
-    black2 = brdf.is_black(rec["kd"][None, :], rec["ks"][None, :])
 
-    flux = rec["flux"][None, :] * vsl_inv_pi_r2
+def _sample_step(rec, ctx, pkeys, flux, black2, acc, s):
+    """One MC sample of the 3-strategy MIS estimator over a pixel batch."""
+    n = ctx["pos"].shape[0]
+    nv12 = ctx["nv12"]
+    half_cone = ctx["half_cone"]
+    cos_half = ctx["cos_half"]
+    solid_angle = ctx["solid_angle"]
+    inv_sa = ctx["inv_sa"]
+    p_l = ctx["p_l"]
+    black1 = ctx["black1"]
+    wi10 = ctx["wi10"]
+    num_samples = ctx["num_samples"]
 
-    def sample_step(carry, s):
-        acc = carry
+    def pdraw(tag, width=None):
+        if width is None:
+            f = lambda k: jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(k, s), tag))
+        else:
+            f = lambda k: jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(k, s), tag), (width,))
+        return jax.vmap(f)(pkeys)
 
-        # ---- strategy 1: uniform cone (lighttracing.cu:395-446) ----
-        u_cone = pdraw(s, 0, 2)
-        local = mu.square_to_solid_angle(u_cone, half_cone)
-        w12c = mu.normalize(mu.from_local(local, nv12))
-        cc = (jnp.maximum(mu.dot(gbuf.normal, w12c), 0.0)
-              * jnp.maximum(-mu.dot(rec["normal"], w12c), 0.0))
-        f2 = _combined_eval_f(-w12c, rec["flux_dir"], rec["normal"],
-                              rec["kd"][None, :], rec["ks"][None, :], rec["ns"])
-        f1 = _combined_eval_f(wi10, w12c, gbuf.normal, gbuf.kd, gbuf.ks, gbuf.ns)
-        pdf_b1 = _pdf_brdf1(gbuf.normal, w12c, wi10, gbuf.ks, gbuf.ns, p_l)
-        pdf_b2 = _pdf_brdf2(rec, w12c, p_l)
-        w_cone = inv_sa / jnp.maximum(pdf_b1 + pdf_b2 + inv_sa, 1e-20)
-        c_cone = flux * (cc * solid_angle)[:, None] * f1 * f2
-        c_cone = jnp.where(((cc > 1e-9) & ~black1)[:, None],
-                           w_cone[:, None] * c_cone, 0.0)
+    # ---- strategy 1: uniform cone (lighttracing.cu:395-446) ----
+    u_cone = pdraw(0, 2)
+    local = mu.square_to_solid_angle(u_cone, half_cone)
+    w12c = mu.normalize(mu.from_local(local, nv12))
+    cc = (jnp.maximum(mu.dot(ctx["n"], w12c), 0.0)
+          * jnp.maximum(-mu.dot(rec["normal"], w12c), 0.0))
+    f2 = _combined_eval_f(-w12c, rec["flux_dir"], rec["normal"],
+                          rec["kd"][None, :], rec["ks"][None, :], rec["ns"])
+    f1 = _combined_eval_f(wi10, w12c, ctx["n"], ctx["kd"], ctx["ks"],
+                          ctx["ns"])
+    pdf_b1 = _pdf_brdf1(ctx["n"], w12c, wi10, ctx["ks"], ctx["ns"], p_l)
+    pdf_b2 = _pdf_brdf2(rec, w12c, p_l)
+    w_cone = inv_sa / jnp.maximum(pdf_b1 + pdf_b2 + inv_sa, 1e-20)
+    c_cone = flux * (cc * solid_angle)[:, None] * f1 * f2
+    c_cone = jnp.where(((cc > 1e-9) & ~black1)[:, None],
+                       w_cone[:, None] * c_cone, 0.0)
 
-        # ---- strategy 2: eye-side BRDF sampling (:448-521) ----
-        u_sel1 = pdraw(s, 1)
-        u_b1 = pdraw(s, 2, 2)
-        w12b, _, lobe_w1, _ = brdf.sample_combined(
-            jnp.minimum(u_sel1, 0.999999), u_b1, wi10, gbuf.normal,
-            gbuf.normal, gbuf.kd, gbuf.ks, gbuf.ns)
-        in_cone1 = mu.dot(w12b, nv12) > cos_half
-        cos1b = jnp.maximum(mu.dot(gbuf.normal, w12b), 0.0)
-        cos2b = jnp.maximum(-mu.dot(rec["normal"], w12b), 0.0)
-        f2b = _combined_eval_f(-w12b, rec["flux_dir"], rec["normal"],
-                               rec["kd"][None, :], rec["ks"][None, :], rec["ns"])
-        pdf_b1b = _pdf_brdf1(gbuf.normal, w12b, wi10, gbuf.ks, gbuf.ns, p_l)
-        pdf_b2b = _pdf_brdf2(rec, w12b, p_l)
-        w_b1 = pdf_b1b / jnp.maximum(pdf_b1b + pdf_b2b + inv_sa, 1e-20)
-        c_b1 = flux * cos2b[:, None] * lobe_w1 * f2b
-        c_b1 = jnp.where((in_cone1 & (cos1b > 1e-9) & ~black1)[:, None],
-                         w_b1[:, None] * c_b1, 0.0)
+    # ---- strategy 2: eye-side BRDF sampling (:448-521) ----
+    u_sel1 = pdraw(1)
+    u_b1 = pdraw(2, 2)
+    w12b, _, lobe_w1, _ = brdf.sample_combined(
+        jnp.minimum(u_sel1, 0.999999), u_b1, wi10, ctx["n"],
+        ctx["n"], ctx["kd"], ctx["ks"], ctx["ns"])
+    in_cone1 = mu.dot(w12b, nv12) > cos_half
+    cos1b = jnp.maximum(mu.dot(ctx["n"], w12b), 0.0)
+    cos2b = jnp.maximum(-mu.dot(rec["normal"], w12b), 0.0)
+    f2b = _combined_eval_f(-w12b, rec["flux_dir"], rec["normal"],
+                           rec["kd"][None, :], rec["ks"][None, :], rec["ns"])
+    pdf_b1b = _pdf_brdf1(ctx["n"], w12b, wi10, ctx["ks"], ctx["ns"], p_l)
+    pdf_b2b = _pdf_brdf2(rec, w12b, p_l)
+    w_b1 = pdf_b1b / jnp.maximum(pdf_b1b + pdf_b2b + inv_sa, 1e-20)
+    c_b1 = flux * cos2b[:, None] * lobe_w1 * f2b
+    c_b1 = jnp.where((in_cone1 & (cos1b > 1e-9) & ~black1)[:, None],
+                     w_b1[:, None] * c_b1, 0.0)
 
-        # ---- strategy 3: light-side BRDF sampling (:523-594) ----
-        u_sel2 = pdraw(s, 3)
-        u_b2 = pdraw(s, 4, 2)
-        rec_kd = jnp.broadcast_to(rec["kd"], (n, 3))
-        rec_ks = jnp.broadcast_to(rec["ks"], (n, 3))
-        rec_n = jnp.broadcast_to(rec["normal"], (n, 3))
-        rec_in = jnp.broadcast_to(rec["flux_dir"], (n, 3))
-        w21, _, lobe_w2, _ = brdf.sample_combined(
-            jnp.minimum(u_sel2, 0.999999), u_b2, rec_in, rec_n, rec_n,
-            rec_kd, rec_ks, rec["ns"])
-        in_cone2 = -mu.dot(w21, nv12) > cos_half
-        cos2c = jnp.maximum(mu.dot(rec["normal"], w21), 0.0)
-        f1c = _combined_eval_f(wi10, -w21, gbuf.normal, gbuf.kd, gbuf.ks,
-                               gbuf.ns)
-        pdf_b1c = _pdf_brdf1(gbuf.normal, -w21, wi10, gbuf.ks, gbuf.ns, p_l)
-        # sampleBrdf2's weight block uses the shading-point pSelect again
-        # and unweighted phong, same quirk (:584-589)
-        pdf_b2c = (brdf.lambert_pdf_w_nopi(rec["normal"], w21) * p_l
-                   + brdf.phong_pdf_w(rec["normal"], w21, rec["flux_dir"],
-                                      rec_ks, rec["ns"]))
-        w_b2 = pdf_b2c / jnp.maximum(pdf_b1c + pdf_b2c + inv_sa, 1e-20)
-        c_b2 = flux * cos2c[:, None] * lobe_w2 * f1c
-        c_b2 = jnp.where((in_cone2 & (cos2c > 1e-8) & ~black1 & ~black2)[:, None],
-                         w_b2[:, None] * c_b2, 0.0)
+    # ---- strategy 3: light-side BRDF sampling (:523-594) ----
+    u_sel2 = pdraw(3)
+    u_b2 = pdraw(4, 2)
+    rec_kd = jnp.broadcast_to(rec["kd"], (n, 3))
+    rec_ks = jnp.broadcast_to(rec["ks"], (n, 3))
+    rec_n = jnp.broadcast_to(rec["normal"], (n, 3))
+    rec_in = jnp.broadcast_to(rec["flux_dir"], (n, 3))
+    w21, _, lobe_w2, _ = brdf.sample_combined(
+        jnp.minimum(u_sel2, 0.999999), u_b2, rec_in, rec_n, rec_n,
+        rec_kd, rec_ks, rec["ns"])
+    in_cone2 = -mu.dot(w21, nv12) > cos_half
+    cos2c = jnp.maximum(mu.dot(rec["normal"], w21), 0.0)
+    f1c = _combined_eval_f(wi10, -w21, ctx["n"], ctx["kd"], ctx["ks"],
+                           ctx["ns"])
+    pdf_b1c = _pdf_brdf1(ctx["n"], -w21, wi10, ctx["ks"], ctx["ns"], p_l)
+    # sampleBrdf2's weight block uses the shading-point pSelect again
+    # and unweighted phong, same quirk (:584-589)
+    pdf_b2c = (brdf.lambert_pdf_w_nopi(rec["normal"], w21) * p_l
+               + brdf.phong_pdf_w(rec["normal"], w21, rec["flux_dir"],
+                                  rec_ks, rec["ns"]))
+    w_b2 = pdf_b2c / jnp.maximum(pdf_b1c + pdf_b2c + inv_sa, 1e-20)
+    c_b2 = flux * cos2c[:, None] * lobe_w2 * f1c
+    c_b2 = jnp.where((in_cone2 & (cos2c > 1e-8) & ~black1 & ~black2)[:, None],
+                     w_b2[:, None] * c_b2, 0.0)
 
-        use = (s < num_samples)[:, None]
-        return acc + jnp.where(use, c_cone + c_b1 + c_b2, 0.0)
+    use = (s < num_samples)[:, None]
+    return acc + jnp.where(use, c_cone + c_b1 + c_b2, 0.0)
 
-    # dynamic trip count: most (pixel, VSL) pairs need only a few samples
-    # (numSamples ~ halfCone*200/pi + 1); loop to the batch maximum instead
-    # of the static 101-step worst case
-    s_needed = jnp.minimum(jnp.max(jnp.where(gate, num_samples, 0)),
-                           MAX_VSL_SAMPLES)
+
+def _sample_loop(rec, ctx, pkeys, flux, black2):
+    """Sample loop to THIS batch's max needed count; returns (n, 3)."""
+    n = ctx["pos"].shape[0]
+    s_needed = jnp.minimum(
+        jnp.max(jnp.where(ctx["gate"], ctx["num_samples"], 0)),
+        MAX_VSL_SAMPLES)
 
     def cond(carry):
         s, _ = carry
@@ -174,12 +208,52 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
 
     def body(carry):
         s, acc = carry
-        return s + 1, sample_step(acc, s)
+        return s + 1, _sample_step(rec, ctx, pkeys, flux, black2, acc, s)
 
     acc0 = jnp.zeros((n, 3), jnp.float32)
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
-    out = acc / jnp.maximum(num_samples.astype(jnp.float32), 1.0)[:, None]
-    return jnp.where(gate[:, None], out, 0.0)
+    out = acc / jnp.maximum(ctx["num_samples"].astype(jnp.float32),
+                            1.0)[:, None]
+    return jnp.where(ctx["gate"][:, None], out, 0.0)
+
+
+def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
+                tile_shape=None, sort_rays=False, chunks: int = 1):
+    """One VSL record vs all pixels: (N, 3).
+
+    pkeys: per-pixel RNG keys (counter-based on the GLOBAL pixel id, so any
+    pixel permutation/sharding draws the same numbers).
+    chunks > 1: pixels are processed in `chunks` equal slices, each with its
+    OWN adaptive sample bound (callers pass difficulty-sorted pixels)."""
+    n = gbuf.position.shape[0]
+    ctx = _record_ctx(scene, gbuf, rec, vsl_radius, vsl_inv_pi_r2, wi10,
+                      tile_shape, sort_rays)
+    flux = rec["flux"][None, :] * vsl_inv_pi_r2
+    black2 = brdf.is_black(rec["kd"][None, :], rec["ks"][None, :])
+
+    if chunks <= 1 or n % chunks != 0:
+        return _sample_loop(rec, ctx, pkeys, flux, black2)
+
+    cn = n // chunks
+    sliceable = dict(ctx)
+    wi10_full = sliceable.pop("wi10")
+
+    def chunk_body(acc, c):
+        start = c * cn
+
+        def dsl(v):
+            return jax.lax.dynamic_slice_in_dim(v, start, cn, axis=0)
+
+        ctx_c = {k: dsl(v) for k, v in sliceable.items()}
+        ctx_c["wi10"] = dsl(wi10_full)
+        out_c = _sample_loop(rec, ctx_c, dsl(pkeys), flux, black2)
+        return jax.lax.dynamic_update_slice_in_dim(acc, out_c, start,
+                                                   axis=0), None
+
+    acc0 = jnp.zeros((n, 3), jnp.float32)
+    acc, _ = jax.lax.scan(chunk_body, acc0,
+                          jnp.arange(chunks, dtype=jnp.int32))
+    return acc
 
 
 def _records_of(pm: PhotonMap, num_vsl_paths: int):
@@ -191,10 +265,10 @@ def _records_of(pm: PhotonMap, num_vsl_paths: int):
     }
 
 
-@partial(jax.jit, static_argnames=("tile_shape",))
+@partial(jax.jit, static_argnames=("tile_shape", "sort_rays", "chunks"))
 def _vsl_scan(scene: SceneData, gbuf: GBuffer, records, key, i0,
               vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc0,
-              tile_shape=None):
+              tile_shape=None, sort_rays=False, chunks: int = 1):
     def step(carry, xs):
         acc, i = carry
         rec = xs
@@ -202,53 +276,98 @@ def _vsl_scan(scene: SceneData, gbuf: GBuffer, records, key, i0,
             jax.random.fold_in(key, i), pixel_ids)
         contrib = _vsl_record(scene, gbuf, rec, pkeys,
                               vsl_radius, vsl_inv_pi_r2, wi10,
-                              tile_shape=tile_shape)
+                              tile_shape=tile_shape, sort_rays=sort_rays,
+                              chunks=chunks)
         return (acc + contrib, i + 1), None
 
     (acc, _), _ = jax.lax.scan(step, (acc0, i0), records)
     return acc
 
 
+@partial(jax.jit, static_argnames=())
+def _difficulty_key(records, positions, stencil, vsl_radius):
+    """Aggregate per-pixel cost proxy: sum of adaptive sample counts over
+    all VPL-usable records (occlusion ignored — it only lowers a chunk's
+    bound further)."""
+    def step(acc, rec):
+        ns = _num_samples_of(rec["pos"], positions, vsl_radius)
+        usable = (rec["flags"] & FLAG_VPL) != 0
+        return acc + jnp.where(usable, ns, 0), None
+
+    acc0 = jnp.zeros(positions.shape[0], jnp.int32)
+    key, _ = jax.lax.scan(step, acc0, records)
+    return jnp.where(stencil > 0.0, key, 0)
+
+
+def _permute_gbuf(gbuf: GBuffer, perm):
+    return jax.tree_util.tree_map(lambda v: v[perm], gbuf)
+
+
 # Records dispatched per device program on the single-device path.  One
 # program over all 120 reference-scale records can run tens of seconds
-# (adaptive cone sampling maxes out near the light) and trips the remote
-# runtime's execution watchdog; chunked dispatch keeps programs short.
+# and trips the remote runtime's execution watchdog; chunked dispatch
+# keeps programs short.
 VSL_RECORD_CHUNK = 8
 
 
 def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                vsl_radius, num_vsl_paths: int,
                pixel_offset=0, tile_shape=None,
-               record_chunk: int | None = VSL_RECORD_CHUNK) -> jnp.ndarray:
+               record_chunk: int | None = VSL_RECORD_CHUNK,
+               pixel_sort: bool = True) -> jnp.ndarray:
     """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722).
 
     pixel_offset: global id of gbuf's first pixel (row-sharded runs).
     record_chunk: None -> one fused scan (required inside shard_map);
-    an int -> python-driven chunks of that many records per dispatch."""
+    an int -> python-driven chunks of that many records per dispatch.
+    pixel_sort: difficulty-sort pixels so each sorted chunk's sample loop
+    runs to its own bound (exact same estimator; ~an order of magnitude
+    faster at protocol scale)."""
     records = _records_of(pm, num_vsl_paths)
     cam = jnp.asarray(scene.camera.origin, jnp.float32)
-    wi10 = mu.normalize(cam[None, :] - gbuf.position)
     vsl_inv_pi_r2 = mu.INV_PI / (vsl_radius * vsl_radius)
     pixel_ids = pixel_offset + jnp.arange(gbuf.position.shape[0],
                                           dtype=jnp.int32)
+    n = gbuf.position.shape[0]
     m = records["pos"].shape[0]
+
+    chunks = 1
+    sort_rays = False
+    inv = None
+    if pixel_sort and n % SORT_CHUNKS == 0 and n >= SORT_CHUNKS * 64:
+        diff = _difficulty_key(records, gbuf.position, gbuf.stencil,
+                               vsl_radius)
+        perm = jnp.argsort(-diff, stable=True)
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(n, dtype=perm.dtype))
+        gbuf = _permute_gbuf(gbuf, perm)
+        pixel_ids = pixel_ids[perm]
+        chunks = SORT_CHUNKS
+        # sorted order breaks screen-tile coherence; octant-sort instead
+        sort_rays = tile_shape is not None
+        tile_shape = None
+
+    wi10 = mu.normalize(cam[None, :] - gbuf.position)
     acc = jnp.zeros_like(gbuf.position)
 
     if record_chunk is None or record_chunk >= m:
         acc = _vsl_scan(scene, gbuf, records, key, jnp.int32(0),
                         vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc,
-                        tile_shape=tile_shape)
-        return acc / float(num_vsl_paths)
-
-    # pad the record count to a chunk multiple (flags=0 rows contribute 0)
-    pad = (-m) % record_chunk
-    if pad:
-        records = {k: jnp.concatenate(
-            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
-            for k, v in records.items()}
-    for c in range(0, m + pad, record_chunk):
-        chunk = {k: v[c:c + record_chunk] for k, v in records.items()}
-        acc = _vsl_scan(scene, gbuf, chunk, key, jnp.int32(c),
-                        vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc,
-                        tile_shape=tile_shape)
+                        tile_shape=tile_shape, sort_rays=sort_rays,
+                        chunks=chunks)
+    else:
+        # pad the record count to a chunk multiple (flags=0 rows -> 0)
+        pad = (-m) % record_chunk
+        if pad:
+            records = {k: jnp.concatenate(
+                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in records.items()}
+        for c in range(0, m + pad, record_chunk):
+            chunk = {k: v[c:c + record_chunk] for k, v in records.items()}
+            acc = _vsl_scan(scene, gbuf, chunk, key, jnp.int32(c),
+                            vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc,
+                            tile_shape=tile_shape, sort_rays=sort_rays,
+                            chunks=chunks)
+    if inv is not None:
+        acc = acc[inv]
     return acc / float(num_vsl_paths)

@@ -49,8 +49,14 @@ def set_interpret(interpret: bool) -> None:
     _COMPILED = not interpret
 
 
+# base for the packed want-bit readout: per-(1,128) row the lane-sum of a
+# 0/1 mask is <= 128, so base 129 keeps npack*2 counts separable in int32
+# (129^3 * 128 = 2.7e8 < 2^31 for npack=2)
+_PACK_BASE = 129
+
+
 def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
-            stats: bool = False):
+            stats: bool = False, sync_pack: bool = True):
     def kernel(bounds_ref, meta_ref, tri_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref,
@@ -132,6 +138,10 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             want = (tn <= tf) & (tf >= 0.0) & (tn <= t_out[sl])
             if any_hit:
                 want = want & (prim_out[sl] < 0)
+            if sync_pack:
+                # sublane-reduced (1, LANES) 0/1 row: stays in the vector
+                # domain so several tests can share ONE scalar readout
+                return jnp.any(want, axis=0, keepdims=True).astype(jnp.int32)
             return jnp.any(want)
 
         def drain(k, qn):
@@ -218,7 +228,13 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 stat_out[0] = stat_out[0] + live_packets
 
             # ---- phase 1: child tests, straight-line across packets ----
+            # sync_pack: every packet's two want-masks are reduced to
+            # (1, LANES) rows in the VECTOR domain and base-129-packed into
+            # ONE lane-sum scalar readout per iteration — the 2-vector->
+            # scalar-`any`s-per-level serial latency was the one quantity
+            # every flat round-2 variant (p4/p5/p6, npack, rows) shared
             tests = []
+            packed = None
             for k in range(npack):
                 active = curs[k] >= 0
                 node = jnp.maximum(curs[k], 0)
@@ -228,9 +244,28 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 axis = mrow[3]
                 ml = meta_s[left, :]
                 mr = meta_s[jnp.maximum(right, 0), :]
-                want_l = slab(k, bounds_s[left, :]) & active
-                want_r = slab(k, bounds_s[jnp.maximum(right, 0), :]) & active
-                tests.append((left, right, axis, ml, mr, want_l, want_r))
+                wl = slab(k, bounds_s[left, :])
+                wr = slab(k, bounds_s[jnp.maximum(right, 0), :])
+                if sync_pack:
+                    part = (wl * (_PACK_BASE ** (2 * k))
+                            + wr * (_PACK_BASE ** (2 * k + 1)))
+                    packed = part if packed is None else packed + part
+                    tests.append((left, right, axis, ml, mr, active))
+                else:
+                    tests.append((left, right, axis, ml, mr,
+                                  wl & active, wr & active))
+            if sync_pack:
+                s_all = jnp.sum(packed)
+                new_tests = []
+                for k in range(npack):
+                    left, right, axis, ml, mr, active = tests[k]
+                    want_l = (((s_all // (_PACK_BASE ** (2 * k)))
+                               % _PACK_BASE) > 0) & active
+                    want_r = (((s_all // (_PACK_BASE ** (2 * k + 1)))
+                               % _PACK_BASE) > 0) & active
+                    new_tests.append((left, right, axis, ml, mr,
+                                      want_l, want_r))
+                tests = new_tests
 
             # ---- phase 2: scalar steering (dummy-slot writes, no branches)
             for k in range(npack):
@@ -323,10 +358,12 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "rows", "npack", "rpl",
-                                   "stats"))
+                                   "stats", "sync_pack"))
 def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
                   any_hit: bool = False, rows: int = ROWS,
-                  npack: int = NPACK, rpl: int = 1, stats: bool = False):
+                  npack: int = NPACK, rpl: int = 1, stats: bool = False,
+                  sync_pack: bool = True):
+    assert not sync_pack or npack <= 2, "packed readout overflows for npack>2"
     """Traverse with the packed layout. Returns (t, prim, u, v) with prim
     already mapped to original triangle ids (-1 = miss)."""
     r = o.shape[0]
@@ -362,7 +399,7 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
         out_specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
                                       memory_space=pltpu.SMEM))
     t, slot, u, v, *stat = pl.pallas_call(
-        _kernel(any_hit, npack, rows, rpl, stats),
+        _kernel(any_hit, npack, rows, rpl, stats, sync_pack),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 8,
         out_specs=out_specs,

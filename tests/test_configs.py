@@ -18,11 +18,11 @@ ALL = sorted(glob.glob(os.path.join(CONFIGS, "*", "*.json")))
 
 def test_matrix_complete():
     names = {os.path.basename(p) for p in ALL}
-    for scene in ("cornell", "glossy", "box_field"):
+    for scene in ("cornell", "glossy", "box_field", "livingroom"):
         for v in ("pt", "pm", "vpl", "vsl", "ours"):
             assert f"{scene}_{v}.json" in names
             assert f"{scene}_{v}_progressive.json" in names
-    assert len(ALL) == 30
+    assert len(ALL) == 40
 
 
 @pytest.mark.parametrize("path", ALL, ids=[os.path.basename(p) for p in ALL])
@@ -65,6 +65,24 @@ CORNELL = [p for p in ALL if os.sep + "cornell" + os.sep in p]
                          ids=[os.path.basename(p) for p in CORNELL])
 def test_cornell_variant_renders(path, tmp_path):
     job = load_config(_shrunk(path, tmp_path))
+    result = render_job(job)
+    assert result.num_iterations == 2
+    img = next(iter(result.images.values()))
+    assert np.isfinite(img).all() and img.shape == (16, 16, 3)
+
+
+LIVINGROOM = [p for p in ALL if os.sep + "livingroom" + os.sep in p
+              and "progressive" not in p]
+
+
+@pytest.mark.parametrize("path", LIVINGROOM,
+                         ids=[os.path.basename(p) for p in LIVINGROOM])
+def test_livingroom_variant_renders(path, tmp_path):
+    """The textured scene renders through every technique (exercises the
+    map_Kd pool in the full config -> render pipeline)."""
+    job = load_config(_shrunk(path, tmp_path))
+    assert job.scene.tex_data.shape[0] == 2        # parquet + wood layers
+    assert int((np.asarray(job.scene.tri_kd_layer) >= 0).sum()) >= 4
     result = render_job(job)
     assert result.num_iterations == 2
     img = next(iter(result.images.values()))

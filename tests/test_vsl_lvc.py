@@ -57,3 +57,22 @@ def test_lvc_matches_vpl_in_expectation():
     vpl = np.asarray(acc_vpl / frames)
     lvc = np.asarray(acc_lvc / frames)
     np.testing.assert_allclose(lvc, vpl, rtol=1e-4, atol=1e-7)
+
+
+def test_vsl_pixel_sort_is_exact():
+    """Difficulty-sorted chunked evaluation == unsorted evaluation, to the
+    bit (per-pixel RNG is counter-based on the global pixel id, and the
+    chunk bounds only skip sample indices that were masked to zero)."""
+    from evplp_tpu.scene.procedural import cornell_box
+    scene = cornell_box()
+    res = 40                              # 1600 px: sorted path active
+    gbuf = trace_gbuffer(scene, res, res)
+    pm = trace_light_paths(scene, iteration_key(7, 0), 32, 3)
+    r = jnp.float32(0.08)
+    a = vsl_gather(scene, gbuf, pm, iteration_key(8, 0), r, 32,
+                   pixel_sort=True)
+    b = vsl_gather(scene, gbuf, pm, iteration_key(8, 0), r, 32,
+                   pixel_sort=False)
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.max() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
