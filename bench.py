@@ -85,6 +85,10 @@ def evplp_rate(scene, frames_budget_s=30.0, max_frames=10):
     elapsed = time.perf_counter() - t0
 
     n_px = RES * RES
+    # UPPER-BOUND accounting (same convention as the reference's derived
+    # ~110M/frame figure): counts every pixel x VPL pair even though the
+    # pre-cull never traces backfacing/unusable pairs; the JSON also
+    # reports a traced-rays-only companion via live_segment_fraction
     rays_per_frame = (
         n_px                                        # primary
         + NUM_LIGHT_PATHS * (records - 1)           # light-path bounces
@@ -94,20 +98,7 @@ def evplp_rate(scene, frames_budget_s=30.0, max_frames=10):
     return mrays, elapsed / frames * 1000.0, frames, int(state.dropped)
 
 
-def kernel_check(scene, n_rays=8192):
-    """Differential check of the COMPILED packet kernel (as Mosaic builds it
-    on this device) vs the dense brute-force oracle."""
-    from evplp_tpu.trace.intersect import (_closest_brute_chunked,
-                                           intersect_closest)
-    o, d = scene.camera.generate_rays(96, 96)   # 9216 coherent rays
-    o, d = o[:n_rays], d[:n_rays]
-    tmin = jnp.full((n_rays,), 1e-4, jnp.float32)
-    tmax = jnp.full((n_rays,), 3.0e38, jnp.float32)
-
-    hit = intersect_closest(scene.tris, scene.bvh, o, d, t_min=1e-4)
-    t_ref, p_ref, _, _ = jax.jit(_closest_brute_chunked)(
-        scene.tris, o, d, tmin, tmax)
-
+def _closest_matches(hit, t_ref, p_ref):
     p_k = np.asarray(hit.prim)
     p_r = np.asarray(p_ref)
     hit_match = (p_k >= 0) == (p_r >= 0)
@@ -117,8 +108,115 @@ def kernel_check(scene, n_rays=8192):
     # differing prim ids with equal t are legitimate (coplanar duplicates)
     prim_match = (p_k[m] == p_r[m]) | np.isclose(
         np.asarray(hit.t)[m], np.asarray(t_ref)[m], rtol=1e-4)
-    ok = bool(hit_match.all() and t_match and prim_match.all())
-    return "pass" if ok else "fail"
+    return bool(hit_match.all() and t_match and prim_match.all())
+
+
+def kernel_check(scene, n_rays=8192):
+    """Differential check of the COMPILED packet kernels (as Mosaic builds
+    them on this device) vs the dense brute-force oracles, over the four
+    production ray paths: coherent closest-hit, shadow any-hit with
+    pre-culled lanes (the ~90%-of-all-rays workload,
+    lighttracing.cu:290-294), sorted-incoherent closest (PT bounces), and
+    rpl>1 multi-row leaves.  Returns {path: "pass"|"fail"}."""
+    from evplp_tpu.accel.bvh import build_bvh
+    from evplp_tpu.trace.intersect import (_any_brute_chunked,
+                                           _closest_brute_chunked,
+                                           intersect_any, intersect_closest)
+    checks = {}
+    o, d = scene.camera.generate_rays(96, 96)   # 9216 coherent rays
+    o, d = o[:n_rays], d[:n_rays]
+    tmin = jnp.full((n_rays,), 1e-4, jnp.float32)
+    tmax = jnp.full((n_rays,), 3.0e38, jnp.float32)
+
+    # 1: coherent closest
+    hit = intersect_closest(scene.tris, scene.bvh, o, d, t_min=1e-4)
+    t_ref, p_ref, _, _ = jax.jit(_closest_brute_chunked)(
+        scene.tris, o, d, tmin, tmax)
+    checks["coherent_closest"] = _closest_matches(hit, t_ref, p_ref)
+
+    # 2: any-hit shadow segments from surface points to a light point,
+    # with ~25% of lanes pre-culled (empty interval, result unspecified)
+    pts = np.asarray(o + np.asarray(hit.t)[:, None] * np.asarray(d))
+    lp = np.asarray(scene.light.v0).reshape(-1, 3).mean(axis=0)
+    o_s = jnp.asarray(np.broadcast_to(lp, pts.shape), jnp.float32)
+    d_s = jnp.asarray(pts) - o_s
+    live = jnp.asarray((np.arange(n_rays) % 4) != 0)
+    seg_tmax = jnp.where(live, jnp.float32(1.0 - 1e-4), jnp.float32(0.0))
+    occ = intersect_any(scene.tris, scene.bvh, o_s, d_s,
+                        t_min=1e-4, t_max=seg_tmax)
+    occ_ref = jax.jit(_any_brute_chunked)(
+        scene.tris, o_s, d_s, tmin, jnp.full((n_rays,), 1.0 - 1e-4))
+    lv = np.asarray(live)
+    checks["anyhit_preculled"] = bool(
+        (np.asarray(occ)[lv] == np.asarray(occ_ref)[lv]).all())
+
+    # 3: sorted incoherent closest (the PT bounce path)
+    rng = np.random.default_rng(11)
+    z = rng.uniform(-1, 1, n_rays)
+    phi = rng.uniform(0, 2 * np.pi, n_rays)
+    r = np.sqrt(np.maximum(1 - z * z, 0))
+    d_b = jnp.asarray(np.stack([r * np.cos(phi), z, r * np.sin(phi)],
+                               axis=-1), jnp.float32)
+    o_b = jnp.asarray(pts, jnp.float32) + 1e-3 * d_b
+    hit_b = intersect_closest(scene.tris, scene.bvh, o_b, d_b,
+                              t_min=1e-4, sort_rays=True)
+    t_rb, p_rb, _, _ = jax.jit(_closest_brute_chunked)(
+        scene.tris, o_b, d_b, tmin, tmax)
+    checks["sorted_incoherent"] = _closest_matches(hit_b, t_rb, p_rb)
+
+    # 4: rpl>1 (multi-row leaves) on a rebuilt BVH of the same geometry
+    v0 = np.asarray(scene.tris.v0)
+    v1 = v0 + np.asarray(scene.tris.e1)
+    v2 = v0 + np.asarray(scene.tris.e2)
+    real = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1) > 0
+    bvh16, perm16 = build_bvh(v0[real], v1[real], v2[real], leaf_size=16,
+                              pack=True)
+    from evplp_tpu.trace.intersect import Triangles
+    pp = np.maximum(perm16, 0)
+    e1p = (v1 - v0)[real][pp]
+    e2p = (v2 - v0)[real][pp]
+    nrm = np.cross(e1p, e2p)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    tris16 = Triangles(
+        v0=jnp.asarray(v0[real][pp]), e1=jnp.asarray(e1p),
+        e2=jnp.asarray(e2p), n=jnp.asarray(nrm.astype(np.float32)))
+    hit16 = intersect_closest(tris16, bvh16, o, d, t_min=1e-4)
+    # the rebuild permutes triangle ids; compare hit mask + t only
+    m16 = np.asarray(hit16.prim) >= 0
+    checks["rpl2_closest"] = bool(
+        (m16 == (np.asarray(p_ref) >= 0)).all()
+        and np.allclose(np.asarray(hit16.t)[m16],
+                        np.asarray(t_ref)[m16], rtol=1e-4))
+
+    return {k: ("pass" if v else "fail") for k, v in checks.items()}
+
+
+def live_segment_fraction(scene):
+    """Fraction of pixel x VPL shadow segments that are actually traced
+    (the pre-cull skips backfacing/unusable/sky pairs, vpl.py:52-64).
+    Used to report a traced-rays-only companion to the headline metric,
+    whose ray count — like the reference's derived 110M/frame figure —
+    counts every pair."""
+    from evplp_tpu.core import mathutil as mu
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.light_trace import (FLAG_VPL,
+                                                   trace_light_paths)
+
+    @jax.jit
+    def frac():
+        gbuf = trace_gbuffer(scene, RES, RES, None)
+        pm = trace_light_paths(scene, iteration_key(2, 0), NUM_LIGHT_PATHS,
+                               NUM_BOUNCES + 1)
+        flat = pm.slice_paths(NUM_VPL_PATHS).flat()
+        v12 = flat.pos[None, :, :] - gbuf.position[:, None, :]
+        ucos1 = jnp.maximum(jnp.sum(gbuf.normal[:, None, :] * v12, -1), 0.0)
+        ucos2 = jnp.maximum(-jnp.sum(flat.normal[None, :, :] * v12, -1), 0.0)
+        pre = ((ucos1 * ucos2) > 0.0) \
+            & (gbuf.stencil > 0.0)[:, None] \
+            & (((flat.flags & FLAG_VPL) != 0))[None, :]
+        return jnp.mean(pre.astype(jnp.float32))
+
+    return float(frac())
 
 
 def main():
@@ -128,11 +226,22 @@ def main():
     n_tris = int((big.bvh.pk_prim_map >= 0).sum()) \
         if big.bvh.slot_order else int(big.tris.v0.shape[0])
     check = kernel_check(big)
+    live_frac = live_segment_fraction(big)
 
     mrays_big, ms_big, frames_big, dropped_big = evplp_rate(big)
 
     small = cornell_box()
     mrays_small, ms_small, frames_small, dropped_small = evplp_rate(small)
+
+    # at-capacity row (settles the round-2 295k measurement artifact):
+    # constant box density via room_scale = sqrt(n/8500)
+    cap_boxes = 24500                              # ~295k triangles
+    cap = box_field(num_boxes=cap_boxes,
+                    room_scale=float(np.sqrt(cap_boxes / 8500.0)))
+    cap_tris = int((cap.bvh.pk_prim_map >= 0).sum()) \
+        if cap.bvh.slot_order else int(cap.tris.v0.shape[0])
+    mrays_cap, ms_cap, frames_cap, _ = evplp_rate(
+        cap, frames_budget_s=20.0, max_frames=4)
 
     # path-tracing throughput on the big scene (1 primary + per-bounce
     # extension + NEE shadow segment per pixel — upper-bound ray count)
@@ -170,8 +279,19 @@ def main():
         "device": str(jax.devices()[0]),
         "kernel_check": check,
         "dropped_splat_pairs": dropped_big,
+        "rays_accounting": "upper_bound (every pixel x VPL pair counted; "
+                           "pre-culled pairs are never traced)",
+        "live_segment_fraction": round(live_frac, 4),
+        "traced_mrays_per_sec": round(mrays_big * (
+            (RES * RES + NUM_LIGHT_PATHS * NUM_BOUNCES
+             + RES * RES * NUM_VPL_PATHS * (NUM_BOUNCES + 1) * live_frac)
+            / (RES * RES + NUM_LIGHT_PATHS * NUM_BOUNCES
+               + RES * RES * NUM_VPL_PATHS * (NUM_BOUNCES + 1))), 2),
         "cornell_mrays_per_sec": round(mrays_small, 2),
         "cornell_ms_per_frame": round(ms_small, 1),
+        "capacity_scene_tris": cap_tris,
+        "capacity_mrays_per_sec": round(mrays_cap, 2),
+        "capacity_ms_per_frame": round(ms_cap, 1),
         "pt_mrays_per_sec": round(pt_mrays, 2),
         "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
     }))

@@ -372,6 +372,10 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
         from evplp_tpu.trace.packet4 import packet4_trace
         kern = partial(packet4_trace, bvh.pk_tri_rows, bvh.pk4_bounds,
                        bvh.pk4_meta, pm)
+    elif PACKET_IMPL == "packet7":
+        from evplp_tpu.trace.packet7 import packet7_trace
+        kern = partial(packet7_trace, bvh.pk_tri_rows, bvh.pk_meta,
+                       bvh.pk_bounds, pm, rpl=bvh.rpl)
     elif PACKET_IMPL == "packet6":
         from evplp_tpu.trace.packet6 import packet6_trace
         kern = partial(packet6_trace, bvh.pk_tri_rows, bvh.pk_meta,

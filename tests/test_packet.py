@@ -240,3 +240,54 @@ def test_packet6_fused_grid_matches_oracle():
                                       np.asarray(ref2.prim >= 0))
     finally:
         packet6.set_interpret(False)
+
+
+def test_packet7_two_level_matches_oracle():
+    """packet7 (two-level loop: tiny traversal body + burst drains) vs
+    oracle: closest incl. prim/t/u and any-hit with dead lanes; also a
+    multi-row-leaf (rpl=2) build."""
+    from evplp_tpu.trace import packet7
+    packet7.set_interpret(True)
+    try:
+        tris, bvh = _scene(n=311, seed=2)
+        o, d = _rays(r=300, seed=3)
+        t, prim, u, v = packet7.packet7_trace(
+            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+            o, d, 1e-4, 3e38, rows=4, npack=2)
+        ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+        np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                      np.asarray(ref.prim >= 0))
+        m = np.asarray(prim >= 0)
+        np.testing.assert_array_equal(np.asarray(prim)[m],
+                                      np.asarray(ref.prim)[m])
+        np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref.u)[m],
+                                   atol=1e-4)
+
+        tmax = jnp.where(jnp.arange(300) % 3 == 0, 0.0, 2.0)
+        _, p2, _, _ = packet7.packet7_trace(
+            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+            o, d, jnp.full((300,), 1e-3), tmax, any_hit=True,
+            rows=4, npack=2)
+        ref2 = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
+        live = np.arange(300) % 3 != 0
+        np.testing.assert_array_equal(np.asarray(p2 >= 0)[live],
+                                      np.asarray(ref2.prim >= 0)[live])
+        assert (np.asarray(p2 >= 0)[~live]).all()
+
+        # rpl=2 (16-triangle leaves)
+        v0 = np.asarray(tris.v0)
+        v1 = v0 + np.asarray(tris.e1)
+        v2 = v0 + np.asarray(tris.e2)
+        from evplp_tpu.accel.bvh import build_bvh
+        bvh16, perm = build_bvh(v0, v1, v2, leaf_size=16, pack=True)
+        t3, p3_, _, _ = packet7.packet7_trace(
+            bvh16.pk_tri_rows, bvh16.pk_meta, bvh16.pk_bounds,
+            bvh16.pk_prim_map, o, d, 1e-4, 3e38, rows=4, npack=2, rpl=2)
+        m3 = np.asarray(p3_ >= 0)
+        np.testing.assert_array_equal(m3, np.asarray(ref.prim >= 0))
+        np.testing.assert_allclose(np.asarray(t3)[m3],
+                                   np.asarray(ref.t)[m3], rtol=1e-4)
+    finally:
+        packet7.set_interpret(False)
