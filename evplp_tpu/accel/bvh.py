@@ -66,6 +66,13 @@ class BVH:
     # triangle ids and the per-ray prim_map gather (~7 ms per Mray on v5e)
     # disappears; node_first is slot-based so the vmap fallback agrees
     slot_order: bool = False
+    # True -> pk_meta is folded into pk_bounds lanes 6/7 as bitcast words
+    # (word0 = count | leaf_row<<6; word1 = right<<2 | axis) and pk_meta is
+    # a dummy.  VMEM arrays pad their minor dim to 128 lanes, so the
+    # separate (N, 4) meta array cost a full 512 B/node; fusing it into
+    # the bounds row's free lanes halves per-node VMEM — with 32-triangle
+    # leaves this lifts the packet path's scene ceiling to ~1.6M triangles
+    fused_nodes: bool = False
 
     @property
     def num_nodes(self) -> int:
@@ -80,11 +87,13 @@ class BVH:
                 self.node_first, self.node_count,
                 self.pk_tri_rows, self.pk_meta, self.pk_bounds,
                 self.pk_prim_map, self.pk4_bounds, self.pk4_meta,
-                self.pk_fb, self.pk_fm), (self.rpl, self.slot_order)
+                self.pk_fb, self.pk_fm), (self.rpl, self.slot_order,
+                                          self.fused_nodes)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
-        return cls(*leaves, rpl=aux[0], slot_order=aux[1])
+        return cls(*leaves, rpl=aux[0], slot_order=aux[1],
+                   fused_nodes=aux[2])
 
 
 jtu.register_pytree_node(BVH, BVH.tree_flatten, BVH.tree_unflatten)
@@ -311,6 +320,12 @@ def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p,
     bounds = np.zeros((n, 8), np.float32)
     bounds[:, 0:3] = nmin
     bounds[:, 3:6] = nmax
+    # fused meta words in the bounds row's free lanes (BVH.fused_nodes):
+    # word0 = count | leaf_row << 6 ; word1 = right << 2 | split_axis
+    w0 = (meta[:, 0] | (meta[:, 1] << 6)).astype(np.int32)
+    w1 = ((meta[:, 2] << 2) | meta[:, 3]).astype(np.int32)
+    bounds[:, 6] = w0.view(np.float32)
+    bounds[:, 7] = w1.view(np.float32)
 
     if rpl > 1:
         # the 4-wide (packet4) and fused-row (packet5) kernels assume
@@ -445,7 +460,7 @@ def _collapse_bvh4(nmin, nmax, count, right, leaf_row_of_node):
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               leaf_size: int = LEAF_SIZE, pack: bool | None = None,
-              slot_order: bool = False):
+              slot_order: bool = False, fused_nodes: bool = False):
     """Build and flatten. Returns (BVH, order) — per-triangle arrays must
     be built as X[order[i]] (order[i] == -1: padding row, use a degenerate
     default).  Without slot_order, `order` is the classic leaf permutation.
@@ -502,6 +517,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         pk_fm=jnp.asarray(pk[7]),
         rpl=-(-leaf_size // 8) if pack else 1,
         slot_order=bool(pack and slot_order),
+        fused_nodes=bool(pack and fused_nodes),
     )
     if pack and slot_order:
         return bvh, order

@@ -69,24 +69,41 @@ def _num_samples_of(rec_pos, positions, vsl_radius):
     return (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1
 
 
-def _record_ctx(scene, gbuf, rec, vsl_radius, vsl_inv_pi_r2, wi10,
-                tile_shape, sort_rays):
-    """Per-(pixel, record) quantities + the shadow segment trace."""
+def _group_occlusion(scene, screen_pos, screen_normal, screen_stencil,
+                     recs, tile_shape):
+    """Batched screen-order shadow trace for a GROUP of records.
+
+    recs: (G, ...) record fields.  One record-major trace over G*N
+    segments (each packet shares one VSL origin + screen-tile targets —
+    the same supremely coherent shape as vpl_gather's, vpl.py:54-64).
+    Returns gate (G, N) = pre & ~occluded."""
+    g = recs["pos"].shape[0]
+    n = screen_pos.shape[0]
+    v12 = recs["pos"][:, None, :] - screen_pos[None, :, :]        # (G, N, 3)
+    ucos1 = jnp.maximum(jnp.sum(screen_normal[None] * v12, -1), 0.0)
+    ucos2 = jnp.maximum(-jnp.sum(recs["normal"][:, None, :] * v12, -1), 0.0)
+    d2 = jnp.maximum(jnp.sum(v12 * v12, -1), 1e-20)
+    # cos1*cos2 > 1e-9 on NORMALIZED cosines (the reference's cull),
+    # written on the unnormalized products: ucos1*ucos2 = cos1*cos2*d2
+    pre = ((ucos1 * ucos2) > 1e-9 * d2) \
+        & (screen_stencil > 0.0)[None, :] \
+        & (((recs["flags"] & FLAG_VPL) != 0))[:, None]
+    seg_from = jnp.broadcast_to(recs["pos"][:, None, :],
+                                (g, n, 3)).reshape(-1, 3)
+    seg_to = jnp.broadcast_to(screen_pos[None], (g, n, 3)).reshape(-1, 3)
+    ts = None if tile_shape is None else (g * tile_shape[0], tile_shape[1])
+    occ = occluded_segment(scene.tris, scene.bvh, seg_from, seg_to,
+                           eps=1e-4, live=pre.reshape(-1),
+                           tile_shape=ts).reshape(g, n)
+    return pre & ~occ
+
+
+def _record_ctx(gbuf, rec, vsl_radius, gate, wi10):
+    """Per-(pixel, record) sampling quantities (pixel order = gbuf order)."""
     v12 = rec["pos"][None, :] - gbuf.position
     d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
     dist = jnp.sqrt(d2)
     nv12 = v12 / dist[:, None]
-
-    cos1cos2 = (jnp.maximum(mu.dot(gbuf.normal, nv12), 0.0)
-                * jnp.maximum(-mu.dot(rec["normal"], nv12), 0.0))
-    pre = (cos1cos2 > 1e-9) & (gbuf.stencil > 0.0) \
-        & ((rec["flags"] & FLAG_VPL) != 0)
-
-    occ = occluded_segment(
-        scene.tris, scene.bvh,
-        jnp.broadcast_to(rec["pos"], gbuf.position.shape), gbuf.position,
-        eps=1e-4, live=pre, tile_shape=tile_shape, sort_rays=sort_rays)
-    gate = pre & ~occ
 
     rdratio = vsl_radius / dist
     half_cone = jnp.where(rdratio >= 1.0, jnp.pi / 2.0,
@@ -217,17 +234,16 @@ def _sample_loop(rec, ctx, pkeys, flux, black2):
     return jnp.where(ctx["gate"][:, None], out, 0.0)
 
 
-def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
-                tile_shape=None, sort_rays=False, chunks: int = 1):
-    """One VSL record vs all pixels: (N, 3).
+def _sample_record(gbuf, rec, gate, pkeys, vsl_radius, vsl_inv_pi_r2,
+                   wi10, chunks: int = 1):
+    """Sampling of one VSL record vs all pixels (gbuf order): (N, 3).
 
     pkeys: per-pixel RNG keys (counter-based on the GLOBAL pixel id, so any
     pixel permutation/sharding draws the same numbers).
     chunks > 1: pixels are processed in `chunks` equal slices, each with its
     OWN adaptive sample bound (callers pass difficulty-sorted pixels)."""
     n = gbuf.position.shape[0]
-    ctx = _record_ctx(scene, gbuf, rec, vsl_radius, vsl_inv_pi_r2, wi10,
-                      tile_shape, sort_rays)
+    ctx = _record_ctx(gbuf, rec, vsl_radius, gate, wi10)
     flux = rec["flux"][None, :] * vsl_inv_pi_r2
     black2 = brdf.is_black(rec["kd"][None, :], rec["ks"][None, :])
 
@@ -235,8 +251,6 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
         return _sample_loop(rec, ctx, pkeys, flux, black2)
 
     cn = n // chunks
-    sliceable = dict(ctx)
-    wi10_full = sliceable.pop("wi10")
 
     def chunk_body(acc, c):
         start = c * cn
@@ -244,8 +258,7 @@ def _vsl_record(scene, gbuf, rec, pkeys, vsl_radius, vsl_inv_pi_r2, wi10,
         def dsl(v):
             return jax.lax.dynamic_slice_in_dim(v, start, cn, axis=0)
 
-        ctx_c = {k: dsl(v) for k, v in sliceable.items()}
-        ctx_c["wi10"] = dsl(wi10_full)
+        ctx_c = {k: dsl(v) for k, v in ctx.items()}
         out_c = _sample_loop(rec, ctx_c, dsl(pkeys), flux, black2)
         return jax.lax.dynamic_update_slice_in_dim(acc, out_c, start,
                                                    axis=0), None
@@ -265,22 +278,41 @@ def _records_of(pm: PhotonMap, num_vsl_paths: int):
     }
 
 
-@partial(jax.jit, static_argnames=("tile_shape", "sort_rays", "chunks"))
-def _vsl_scan(scene: SceneData, gbuf: GBuffer, records, key, i0,
-              vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc0,
-              tile_shape=None, sort_rays=False, chunks: int = 1):
-    def step(carry, xs):
-        acc, i = carry
-        rec = xs
-        pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.fold_in(key, i), pixel_ids)
-        contrib = _vsl_record(scene, gbuf, rec, pkeys,
-                              vsl_radius, vsl_inv_pi_r2, wi10,
-                              tile_shape=tile_shape, sort_rays=sort_rays,
-                              chunks=chunks)
-        return (acc + contrib, i + 1), None
+@partial(jax.jit, static_argnames=("tile_shape", "chunks", "sorted_px"))
+def _vsl_scan(scene: SceneData, gbuf: GBuffer, screen, perm,
+              records_grouped, key, i0, vsl_radius, vsl_inv_pi_r2, wi10,
+              pixel_ids, acc0, tile_shape=None, chunks: int = 1,
+              sorted_px: bool = False):
+    """Scan over GROUPS of records: one record-major batched shadow trace
+    per group (screen order, tile-shaped — vpl_gather's coherent shape),
+    then the sampling loops per record over the (possibly sorted) pixels.
 
-    (acc, _), _ = jax.lax.scan(step, (acc0, i0), records)
+    gbuf/wi10/pixel_ids are in sampling order; `screen` = (pos, normal,
+    stencil) in screen order with `perm` mapping screen -> sampling order
+    (both None-equivalent when sorted_px is False, where gbuf IS screen
+    order)."""
+    screen_pos, screen_normal, screen_stencil = screen
+
+    def group_step(carry, recs):
+        acc, i = carry
+        gates = _group_occlusion(scene, screen_pos, screen_normal,
+                                 screen_stencil, recs, tile_shape)
+        if sorted_px:
+            gates = gates[:, perm]
+
+        def rec_step(c2, xs):
+            acc2, i2 = c2
+            rec, gate = xs
+            pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.fold_in(key, i2), pixel_ids)
+            contrib = _sample_record(gbuf, rec, gate, pkeys, vsl_radius,
+                                     vsl_inv_pi_r2, wi10, chunks=chunks)
+            return (acc2 + contrib, i2 + 1), None
+
+        (acc, i), _ = jax.lax.scan(rec_step, (acc, i), (recs, gates))
+        return (acc, i), None
+
+    (acc, _), _ = jax.lax.scan(group_step, (acc0, i0), records_grouped)
     return acc
 
 
@@ -307,7 +339,8 @@ def _permute_gbuf(gbuf: GBuffer, perm):
 # program over all 120 reference-scale records can run tens of seconds
 # and trips the remote runtime's execution watchdog; chunked dispatch
 # keeps programs short.
-VSL_RECORD_CHUNK = 8
+VSL_RECORD_CHUNK = 16
+TRACE_GROUP = 8          # records per batched record-major shadow trace
 
 
 def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
@@ -322,7 +355,9 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
     an int -> python-driven chunks of that many records per dispatch.
     pixel_sort: difficulty-sort pixels so each sorted chunk's sample loop
     runs to its own bound (exact same estimator; ~an order of magnitude
-    faster at protocol scale)."""
+    faster at protocol scale).  Shadow traces always run in SCREEN order
+    (record-major tile-shaped batches of TRACE_GROUP records — the
+    vpl_gather shape); only the sampling runs over sorted pixels."""
     records = _records_of(pm, num_vsl_paths)
     cam = jnp.asarray(scene.camera.origin, jnp.float32)
     vsl_inv_pi_r2 = mu.INV_PI / (vsl_radius * vsl_radius)
@@ -330,10 +365,12 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                                           dtype=jnp.int32)
     n = gbuf.position.shape[0]
     m = records["pos"].shape[0]
+    screen = (gbuf.position, gbuf.normal, gbuf.stencil)
 
     chunks = 1
-    sort_rays = False
     inv = None
+    perm = jnp.zeros((0,), jnp.int32)
+    sorted_px = False
     if pixel_sort and n % SORT_CHUNKS == 0 and n >= SORT_CHUNKS * 64:
         diff = _difficulty_key(records, gbuf.position, gbuf.stencil,
                                vsl_radius)
@@ -343,31 +380,33 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
         gbuf = _permute_gbuf(gbuf, perm)
         pixel_ids = pixel_ids[perm]
         chunks = SORT_CHUNKS
-        # sorted order breaks screen-tile coherence; octant-sort instead
-        sort_rays = tile_shape is not None
-        tile_shape = None
+        sorted_px = True
 
     wi10 = mu.normalize(cam[None, :] - gbuf.position)
     acc = jnp.zeros_like(gbuf.position)
 
-    if record_chunk is None or record_chunk >= m:
-        acc = _vsl_scan(scene, gbuf, records, key, jnp.int32(0),
-                        vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc,
-                        tile_shape=tile_shape, sort_rays=sort_rays,
-                        chunks=chunks)
+    # pad the record count to a trace-group multiple (flags=0 rows gate to
+    # zero and their sample loops run zero steps)
+    pad = (-m) % TRACE_GROUP
+    if pad:
+        records = {k: jnp.concatenate(
+            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+            for k, v in records.items()}
+    mg = (m + pad) // TRACE_GROUP
+    grouped = {k: v.reshape((mg, TRACE_GROUP) + v.shape[1:])
+               for k, v in records.items()}
+
+    if record_chunk is None or record_chunk >= m + pad:
+        gstep = mg
     else:
-        # pad the record count to a chunk multiple (flags=0 rows -> 0)
-        pad = (-m) % record_chunk
-        if pad:
-            records = {k: jnp.concatenate(
-                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
-                for k, v in records.items()}
-        for c in range(0, m + pad, record_chunk):
-            chunk = {k: v[c:c + record_chunk] for k, v in records.items()}
-            acc = _vsl_scan(scene, gbuf, chunk, key, jnp.int32(c),
-                            vsl_radius, vsl_inv_pi_r2, wi10, pixel_ids, acc,
-                            tile_shape=tile_shape, sort_rays=sort_rays,
-                            chunks=chunks)
+        gstep = max(1, record_chunk // TRACE_GROUP)
+    for g in range(0, mg, gstep):
+        part = {k: v[g:g + gstep] for k, v in grouped.items()}
+        acc = _vsl_scan(scene, gbuf, screen, perm, part, key,
+                        jnp.int32(g * TRACE_GROUP), vsl_radius,
+                        vsl_inv_pi_r2, wi10, pixel_ids, acc,
+                        tile_shape=tile_shape, chunks=chunks,
+                        sorted_px=sorted_px)
     if inv is not None:
         acc = acc[inv]
     return acc / float(num_vsl_paths)

@@ -153,7 +153,13 @@ def build_scene(
     # slot space (leaf_row*8 + j), so the Pallas kernels' slot ids ARE the
     # triangle ids — no slot->prim gather per traced ray.  For small
     # (unpacked) scenes `order` degenerates to the classic permutation.
-    bvh, order = build_bvh(v0, v1, v2, slot_order=True)
+    # Scenes past the classic 300k VMEM ceiling switch to 32-triangle
+    # leaves + fused node rows (meta folded into bounds lanes, BVH.
+    # fused_nodes): half the per-node VMEM, ceiling ~1.6M triangles,
+    # throughput parity (leaf-size sweep measured flat on v5e).
+    big = v0.shape[0] > 280_000
+    bvh, order = build_bvh(v0, v1, v2, slot_order=True,
+                           leaf_size=32 if big else 8, fused_nodes=big)
     valid = order >= 0
     oi = np.maximum(order, 0)
 

@@ -105,7 +105,8 @@ def _use_packet(tris: Triangles, bvh) -> bool:
     giant scenes).  The cap is VMEM-resident scene data (tri rows +
     bounds + meta, plus compiler temporaries): ~300k triangles compiles
     inside v5e's 128 MB VMEM; 414k measured 132.5 MB (OOM)."""
-    if tris.v0.shape[0] > 300_000 or not bvh.has_packed:
+    cap = 1_600_000 if bvh.fused_nodes else 300_000
+    if tris.v0.shape[0] > cap or not bvh.has_packed:
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -367,7 +368,12 @@ PACKET_IMPL = "packet3"
 
 def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
     pm = None if bvh.slot_order else bvh.pk_prim_map
-    if (PACKET_IMPL == "packet4" and bvh.rpl == 1
+    if bvh.fused_nodes and PACKET_IMPL != "packet3":
+        # only packet3 understands the fused node layout
+        from evplp_tpu.trace.packet3 import packet3_trace
+        kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
+                       bvh.pk_bounds, pm, rpl=bvh.rpl, fused=True)
+    elif (PACKET_IMPL == "packet4" and bvh.rpl == 1
             and bvh.pk4_meta.shape[0] > 1):
         from evplp_tpu.trace.packet4 import packet4_trace
         kern = partial(packet4_trace, bvh.pk_tri_rows, bvh.pk4_bounds,
@@ -383,7 +389,8 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
     else:
         from evplp_tpu.trace.packet3 import packet3_trace
         kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
-                       bvh.pk_bounds, pm, rpl=bvh.rpl)
+                       bvh.pk_bounds, pm, rpl=bvh.rpl,
+                       fused=bvh.fused_nodes)
     r = o.shape[0]
     sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
           and tile_shape[1] % SWIZZLE_TW == 0)

@@ -56,7 +56,12 @@ _PACK_BASE = 129
 
 
 def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
-            stats: bool = False, sync_pack: bool = True):
+            stats: bool = False, sync_pack: bool = True,
+            fused: bool = False):
+    """fused: node meta lives in bounds lanes 6/7 (BVH.fused_nodes) — no
+    meta array in VMEM; the current node's meta words are CARRIED in the
+    scalar loop state (selected when the node was chosen as a child) and
+    the stack holds (node, w0, w1) triples."""
     def kernel(bounds_ref, meta_ref, tri_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref,
@@ -77,9 +82,10 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
         # ~180 us/step at 102k tris, half the coherent-workload runtime)
         @pl.when(pl.program_id(0) == 0)
         def _():
-            for i, (src, dst) in enumerate(((bounds_ref, bounds_s),
-                                            (meta_ref, meta_s),
-                                            (tri_ref, tri_s))):
+            copies = [(bounds_ref, bounds_s), (tri_ref, tri_s)]
+            if not fused:
+                copies.insert(1, (meta_ref, meta_s))
+            for src, dst in copies:
                 cp = pltpu.make_async_copy(src, dst, dma_sem)
                 cp.start()
                 cp.wait()
@@ -208,15 +214,26 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 v_out[sl] = best_v
             return jnp.int32(0)
 
+        def _meta_words(row):
+            """(w0, w1) bitcast from a fused node row's lanes 6/7."""
+            w0 = jax.lax.bitcast_convert_type(row[6], jnp.int32)
+            w1 = jax.lax.bitcast_convert_type(row[7], jnp.int32)
+            return w0, w1
+
         def cond(state):
-            curs, sps, qns = state
+            curs, sps, qns = state[0], state[1], state[2]
             alive = False
             for k in range(npack):
                 alive = alive | (curs[k] >= 0) | (sps[k] > 0) | (qns[k] > 0)
             return alive
 
         def body(state):
-            curs, sps, qns = state
+            if fused:
+                curs, sps, qns, w0s, w1s = state
+                w0s = list(w0s)
+                w1s = list(w1s)
+            else:
+                curs, sps, qns = state
             curs = list(curs)
             sps = list(sps)
             qns = list(qns)
@@ -238,14 +255,24 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             for k in range(npack):
                 active = curs[k] >= 0
                 node = jnp.maximum(curs[k], 0)
-                mrow = meta_s[node, :]
                 left = node + 1
-                right = mrow[2]
-                axis = mrow[3]
-                ml = meta_s[left, :]
-                mr = meta_s[jnp.maximum(right, 0), :]
-                wl = slab(k, bounds_s[left, :])
-                wr = slab(k, bounds_s[jnp.maximum(right, 0), :])
+                if fused:
+                    right = w1s[k] >> 2
+                    axis = w1s[k] & 3
+                    row_l = bounds_s[left, :]
+                    row_r = bounds_s[jnp.maximum(right, 0), :]
+                    ml = _meta_words(row_l)      # (w0, w1) of each child
+                    mr = _meta_words(row_r)
+                    wl = slab(k, row_l)
+                    wr = slab(k, row_r)
+                else:
+                    mrow = meta_s[node, :]
+                    right = mrow[2]
+                    axis = mrow[3]
+                    ml = meta_s[left, :]
+                    mr = meta_s[jnp.maximum(right, 0), :]
+                    wl = slab(k, bounds_s[left, :])
+                    wr = slab(k, bounds_s[jnp.maximum(right, 0), :])
                 if sync_pack:
                     part = (wl * (_PACK_BASE ** (2 * k))
                             + wr * (_PACK_BASE ** (2 * k + 1)))
@@ -270,20 +297,26 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             # ---- phase 2: scalar steering (dummy-slot writes, no branches)
             for k in range(npack):
                 left, right, axis, ml, mr, want_l, want_r = tests[k]
-                l_leaf = ml[0] > 0
-                r_leaf = mr[0] > 0
+                if fused:
+                    cnt_l, lrow_l = ml[0] & 63, ml[0] >> 6
+                    cnt_r, lrow_r = mr[0] & 63, mr[0] >> 6
+                else:
+                    cnt_l, lrow_l = ml[0], ml[1]
+                    cnt_r, lrow_r = mr[0], mr[1]
+                l_leaf = cnt_l > 0
+                r_leaf = cnt_r > 0
 
                 # enqueue wanted leaf children
                 enq_l = want_l & l_leaf
                 slot_l = k * QSTRIDE + jnp.where(enq_l, qns[k], QCAP)
-                qrow_ref[slot_l] = ml[1]
-                qcnt_ref[slot_l] = ml[0]
+                qrow_ref[slot_l] = lrow_l
+                qcnt_ref[slot_l] = cnt_l
                 qn = qns[k] + enq_l.astype(jnp.int32)
 
                 enq_r = want_r & r_leaf
                 slot_r = k * QSTRIDE + jnp.where(enq_r, qn, QCAP)
-                qrow_ref[slot_r] = mr[1]
-                qcnt_ref[slot_r] = mr[0]
+                qrow_ref[slot_r] = lrow_r
+                qcnt_ref[slot_r] = cnt_r
                 qn = qn + enq_r.astype(jnp.int32)
 
                 # internal children: near first (packet sign on split axis)
@@ -302,14 +335,34 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 cur = jnp.where(wf, first, jnp.where(ws, second, -1))
                 push = wf & ws
                 sp = sps[k]
-                stack_ref[k * STACK_DEPTH +
-                          jnp.where(push, sp, STACK_DEPTH - 1)] = second
+                sslot = k * STACK_DEPTH + jnp.where(push, sp,
+                                                    STACK_DEPTH - 1)
+                if fused:
+                    # carried meta words follow the same child selection
+                    w0_f = jnp.where(pos_dir, ml[0], mr[0])
+                    w1_f = jnp.where(pos_dir, ml[1], mr[1])
+                    w0_s = jnp.where(pos_dir, mr[0], ml[0])
+                    w1_s = jnp.where(pos_dir, mr[1], ml[1])
+                    w0 = jnp.where(wf, w0_f, jnp.where(ws, w0_s, 0))
+                    w1 = jnp.where(wf, w1_f, jnp.where(ws, w1_s, 0))
+                    stack_ref[3 * sslot] = second
+                    stack_ref[3 * sslot + 1] = w0_s
+                    stack_ref[3 * sslot + 2] = w1_s
+                else:
+                    stack_ref[sslot] = second
                 sp = sp + push.astype(jnp.int32)
 
                 # out of nodes: pop (unconditional read + select)
-                top = stack_ref[k * STACK_DEPTH + jnp.maximum(sp - 1, 0)]
+                tslot = k * STACK_DEPTH + jnp.maximum(sp - 1, 0)
                 need_pop = (cur < 0) & (sp > 0)
-                cur = jnp.where(need_pop, top, cur)
+                if fused:
+                    cur = jnp.where(need_pop, stack_ref[3 * tslot], cur)
+                    w0 = jnp.where(need_pop, stack_ref[3 * tslot + 1], w0)
+                    w1 = jnp.where(need_pop, stack_ref[3 * tslot + 2], w1)
+                    w0s[k] = w0
+                    w1s[k] = w1
+                else:
+                    cur = jnp.where(need_pop, stack_ref[tslot], cur)
                 sp = sp - need_pop.astype(jnp.int32)
 
                 curs[k] = cur
@@ -343,12 +396,21 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                     sps[k] = jnp.where(stop, 0, sps[k])
                     qns[k] = jnp.where(stop, 0, qns[k])
 
+            if fused:
+                return (tuple(curs), tuple(sps), tuple(qns),
+                        tuple(w0s), tuple(w1s))
             return (tuple(curs), tuple(sps), tuple(qns))
 
         zero = jnp.int32(0)
-        init = (tuple(zero for _ in range(npack)),
-                tuple(zero for _ in range(npack)),
-                tuple(zero for _ in range(npack)))
+        zeros = tuple(zero for _ in range(npack))
+        if fused:
+            # root meta words from the fused root row
+            w0r, w1r = _meta_words(bounds_s[0, :])
+            init = (zeros, zeros, zeros,
+                    tuple(w0r for _ in range(npack)),
+                    tuple(w1r for _ in range(npack)))
+        else:
+            init = (zeros, zeros, zeros)
         jax.lax.while_loop(cond, body, init)
         if stats:
             for i in range(4):
@@ -358,11 +420,11 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "rows", "npack", "rpl",
-                                   "stats", "sync_pack"))
+                                   "stats", "sync_pack", "fused"))
 def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
                   any_hit: bool = False, rows: int = ROWS,
                   npack: int = NPACK, rpl: int = 1, stats: bool = False,
-                  sync_pack: bool = True):
+                  sync_pack: bool = True, fused: bool = False):
     assert not sync_pack or npack <= 2, "packed readout overflows for npack>2"
     """Traverse with the packed layout. Returns (t, prim, u, v) with prim
     already mapped to original triangle ids (-1 = miss)."""
@@ -398,14 +460,18 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
         out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
                                       memory_space=pltpu.SMEM))
+    if fused:
+        # no meta in VMEM: a dummy row keeps the kernel signature stable
+        meta = meta[:1]
     t, slot, u, v, *stat = pl.pallas_call(
-        _kernel(any_hit, npack, rows, rpl, stats, sync_pack),
+        _kernel(any_hit, npack, rows, rpl, stats, sync_pack, fused),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 8,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((npack * STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((npack * STACK_DEPTH * (3 if fused else 1),),
+                       jnp.int32),
             pltpu.SMEM((npack * QSTRIDE,), jnp.int32),
             pltpu.SMEM((npack * QSTRIDE,), jnp.int32),
             pltpu.SMEM((npack * 3,), jnp.int32),
@@ -419,7 +485,7 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
             pltpu.SemaphoreType.DMA,
         ] + ([pltpu.SMEM((4,), jnp.int32)] if stats else []),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=(112 if fused else 100) * 1024 * 1024),
         interpret=not _COMPILED,
     )(bounds, meta, tri_rows, *args)
 

@@ -291,3 +291,39 @@ def test_packet7_two_level_matches_oracle():
                                    np.asarray(ref.t)[m3], rtol=1e-4)
     finally:
         packet7.set_interpret(False)
+
+
+def test_packet3_fused_nodes_matches_oracle():
+    """Fused node rows (meta in bounds lanes 6/7, carried meta words,
+    triple-wide stack) vs oracle, closest + any-hit, leaf 32 (rpl=4)."""
+    tris, bvh = _scene(n=311, seed=2)
+    v0 = np.asarray(tris.v0)
+    v1 = v0 + np.asarray(tris.e1)
+    v2 = v0 + np.asarray(tris.e2)
+    from evplp_tpu.accel.bvh import build_bvh
+    bvh32, perm = build_bvh(v0, v1, v2, leaf_size=32, pack=True,
+                            fused_nodes=True)
+    assert bvh32.fused_nodes and bvh32.rpl == 4
+    o, d = _rays(r=300, seed=3)
+    t, prim, u, v = packet3.packet3_trace(
+        bvh32.pk_tri_rows, bvh32.pk_meta, bvh32.pk_bounds,
+        bvh32.pk_prim_map, o, d, 1e-4, 3e38, rows=4, npack=2, rpl=4,
+        fused=True)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+    m = np.asarray(prim >= 0)
+    np.testing.assert_array_equal(np.asarray(prim)[m],
+                                  np.asarray(ref.prim)[m])
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+
+    tmax = jnp.where(jnp.arange(300) % 3 == 0, 0.0, 2.0)
+    _, p2, _, _ = packet3.packet3_trace(
+        bvh32.pk_tri_rows, bvh32.pk_meta, bvh32.pk_bounds,
+        bvh32.pk_prim_map, o, d, jnp.full((300,), 1e-3), tmax,
+        any_hit=True, rows=4, npack=2, rpl=4, fused=True)
+    ref2 = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
+    live = np.arange(300) % 3 != 0
+    np.testing.assert_array_equal(np.asarray(p2 >= 0)[live],
+                                  np.asarray(ref2.prim >= 0)[live])
