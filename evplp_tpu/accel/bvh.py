@@ -37,12 +37,11 @@ class BVH:
     node_count: (N,) int32 — leaf: #triangles; internal: 0.
 
     pk_*: VMEM-packed mirror for the Pallas packet kernels
-    (trace/packet2.py, packet4.py): 8 triangles per 128-lane row, meta
-    [count, leaf_row|_, right_child, split_axis], bounds (N, 8),
-    slot->tri map, plus the 4-wide collapsed tree (pk4_*: bounds
-    (N4, 32) = 4 child boxes/row, meta (N4, 8) = 4 packed children +
-    2 octant-order words).  Dummy 1-row arrays when the scene is below
-    the packet threshold.
+    (trace/packet3.py, packet7.py): 8 triangles per 128-lane row, meta
+    [count, leaf_row|_, right_child, split_axis], bounds (N, 8) — with
+    fused_nodes the meta also rides in bounds lanes 6/7 — and the
+    slot->tri map.  Dummy 1-row arrays when the scene is below the
+    packet threshold.
     """
     node_min: jnp.ndarray
     node_max: jnp.ndarray
@@ -53,10 +52,6 @@ class BVH:
     pk_meta: jnp.ndarray       # (N, 4) i32
     pk_bounds: jnp.ndarray     # (N, 8) f32
     pk_prim_map: jnp.ndarray   # (L*8,) i32
-    pk4_bounds: jnp.ndarray    # (N4, 32) f32
-    pk4_meta: jnp.ndarray      # (N4, 8) i32
-    pk_fb: jnp.ndarray         # (N, 16) f32 — children bounds, fused
-    pk_fm: jnp.ndarray         # (N, 4) i32 — packed children + split axis
     # triangle ROWS per leaf (static): leaves hold up to rpl*8 triangles in
     # rpl consecutive 128-lane rows; bigger leaves halve the tree's internal
     # node count (traversal is per-iteration-bound, drains are cheap)
@@ -86,9 +81,8 @@ class BVH:
         return (self.node_min, self.node_max, self.node_skip,
                 self.node_first, self.node_count,
                 self.pk_tri_rows, self.pk_meta, self.pk_bounds,
-                self.pk_prim_map, self.pk4_bounds, self.pk4_meta,
-                self.pk_fb, self.pk_fm), (self.rpl, self.slot_order,
-                                          self.fused_nodes)
+                self.pk_prim_map), (self.rpl, self.slot_order,
+                                    self.fused_nodes)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
@@ -327,135 +321,7 @@ def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p,
     bounds[:, 6] = w0.view(np.float32)
     bounds[:, 7] = w1.view(np.float32)
 
-    if rpl > 1:
-        # the 4-wide (packet4) and fused-row (packet5) kernels assume
-        # single-row leaves; emit dummies so they cannot be misused
-        q_bounds = np.zeros((1, 32), np.float32)
-        q_meta = np.full((1, 8), -1, np.int32)
-        fb = np.zeros((n, 16), np.float32)
-        fm = np.zeros((n, 4), np.int32)
-        return (rows.reshape(l, 128), meta, bounds, prim_map,
-                q_bounds, q_meta, fb, fm)
-
-    q_bounds, q_meta = _collapse_bvh4(nmin, nmax, count, right,
-                                      leaf_row_of_node)
-
-    # fused per-node rows (packet5 kernel): BOTH children's bounds + packed
-    # metas live in the parent's row, so one iteration needs 2 row loads
-    # instead of 5 (meta[node] + meta/bounds of each child)
-    fb = np.zeros((n, 16), np.float32)
-    fm = np.zeros((n, 4), np.int32)
-    if len(internal):
-        left_id = internal + 1
-        right_id = right[internal]
-
-        def packed(v):
-            isl = count[v] > 0
-            return np.where(
-                isl,
-                _B4_LEAF | (np.minimum(count[v], 8) << 24)
-                | leaf_row_of_node[v],
-                v).astype(np.int32)
-
-        fb[internal, 0:3] = nmin[left_id]
-        fb[internal, 3:6] = nmax[left_id]
-        fb[internal, 6:9] = nmin[right_id]
-        fb[internal, 9:12] = nmax[right_id]
-        fm[internal, 0] = packed(left_id)
-        fm[internal, 1] = packed(right_id)
-        fm[internal, 2] = meta[internal, 3]        # split axis
-    return (rows.reshape(l, 128), meta, bounds, prim_map, q_bounds, q_meta,
-            fb, fm)
-
-
-# BVH4 child encoding (packet4 kernel): empty slot -1;
-# leaf  (1<<30) | (count<<24) | leaf_row;  internal  bvh4 node id.
-_B4_LEAF = 1 << 30
-
-
-def _collapse_bvh4(nmin, nmax, count, right, leaf_row_of_node):
-    """Collapse the flattened BVH2 into a 4-wide tree: each BVH4 node's
-    children are its BVH2 grandchild subtrees (or a leaf child directly).
-    One node = one VMEM row pair: bounds (32 f32: 4 x minxyz+maxxyz, padded)
-    and meta (8 i32: 4 packed children + 2 octant-order words).
-
-    The order words hold, for each of the 8 direction octants, the
-    near-to-far visit order of the 4 slots (2 bits per slot, 8 bits per
-    octant, octants 0-3 in word 0, 4-7 in word 1)."""
-    n = count.shape[0]
-    is_leaf2 = count > 0
-    if is_leaf2[0]:
-        # degenerate single-leaf scene: one node whose slot 0 is the leaf
-        q_bounds = np.full((1, 32), 3.0e38, np.float32)
-        q_bounds[0, 24:] = 0.0
-        q_meta = np.full((1, 8), -1, np.int32)
-        q_bounds[0, 0:3] = nmin[0]
-        q_bounds[0, 3:6] = nmax[0]
-        q_meta[0, 0] = _B4_LEAF | (int(count[0]) << 24) | int(leaf_row_of_node[0])
-        q_meta[0, 4:6] = 0
-        return q_bounds, q_meta
-
-    def kids(v):
-        return v + 1, int(right[v])
-
-    # BFS over selected BVH4 nodes (BVH2 internal nodes at even depth)
-    b4_id = {0: 0}
-    order = [0]
-    entries = []    # per bvh4 node: list of bvh2 entry nodes
-    head = 0
-    while head < len(order):
-        v = order[head]
-        head += 1
-        ent = []
-        for c in kids(v):
-            if is_leaf2[c]:
-                ent.append(c)
-            else:
-                ent.extend(kids(c))
-        for e in ent:
-            if not is_leaf2[e]:
-                if e not in b4_id:
-                    b4_id[e] = len(b4_id)
-                    order.append(e)
-        entries.append(ent)
-
-    n4 = len(order)
-    # empty slots: degenerate point-box at +3e38 — the slab test rejects it
-    # for every finite ray without any scalar masking in the kernel
-    q_bounds = np.full((n4, 32), 3.0e38, np.float32)
-    q_bounds[:, 24:] = 0.0
-    q_meta = np.full((n4, 8), -1, np.int32)
-    octs = np.array([[(1.0 if o & (1 << a) else -1.0) for a in range(3)]
-                     for o in range(8)], np.float32)        # (8, 3) signs
-
-    for i, ent in enumerate(entries):
-        centers = np.zeros((4, 3), np.float32)
-        used = len(ent)
-        for j, e in enumerate(ent):
-            q_bounds[i, 6 * j:6 * j + 3] = nmin[e]
-            q_bounds[i, 6 * j + 3:6 * j + 6] = nmax[e]
-            centers[j] = (nmin[e] + nmax[e]) * 0.5
-            if is_leaf2[e]:
-                q_meta[i, j] = (_B4_LEAF | (int(count[e]) << 24)
-                                | int(leaf_row_of_node[e]))
-            else:
-                q_meta[i, j] = b4_id[e]
-        # near-to-far slot order per direction octant
-        keys = centers @ octs.T                              # (4, 8)
-        keys[used:] = np.inf
-        w0 = w1 = 0
-        for o in range(8):
-            o_slots = np.argsort(keys[:, o], kind="stable")
-            byte = 0
-            for s in range(4):
-                byte |= int(o_slots[s]) << (2 * s)
-            if o < 4:
-                w0 |= byte << (8 * o)
-            else:
-                w1 |= byte << (8 * (o - 4))
-        q_meta[i, 4] = np.uint32(w0 & 0xffffffff).view(np.int32)
-        q_meta[i, 5] = np.uint32(w1 & 0xffffffff).view(np.int32)
-    return q_bounds, q_meta
+    return rows.reshape(l, 128), meta, bounds, prim_map
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -497,9 +363,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             first = np.where(count > 0, meta[:, 1] * 8, -1).astype(np.int32)
     else:
         pk = (np.zeros((1, 128), np.float32), np.zeros((1, 4), np.int32),
-              np.zeros((1, 8), np.float32), np.full((8,), -1, np.int32),
-              np.zeros((1, 32), np.float32), np.full((1, 8), -1, np.int32),
-              np.zeros((1, 16), np.float32), np.zeros((1, 4), np.int32))
+              np.zeros((1, 8), np.float32), np.full((8,), -1, np.int32))
 
     bvh = BVH(
         node_min=jnp.asarray(nmin),
@@ -511,10 +375,6 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         pk_meta=jnp.asarray(pk[1]),
         pk_bounds=jnp.asarray(pk[2]),
         pk_prim_map=jnp.asarray(pk[3]),
-        pk4_bounds=jnp.asarray(pk[4]),
-        pk4_meta=jnp.asarray(pk[5]),
-        pk_fb=jnp.asarray(pk[6]),
-        pk_fm=jnp.asarray(pk[7]),
         rpl=-(-leaf_size // 8) if pack else 1,
         slot_order=bool(pack and slot_order),
         fused_nodes=bool(pack and fused_nodes),

@@ -362,7 +362,9 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
 
 
 # packet kernel implementation switch (A/B): "packet3" = one grid step per
-# ray block; "packet6" = fused grid (internal block loop + manual DMA)
+# ray block (default); "packet7" = two-level loop (tiny traversal body +
+# burst drains — measured at parity, kept as the documented alternate;
+# round-2/3 variants packet2/4/5/6 all measured flat and were pruned)
 PACKET_IMPL = "packet3"
 
 
@@ -373,18 +375,9 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
         from evplp_tpu.trace.packet3 import packet3_trace
         kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
                        bvh.pk_bounds, pm, rpl=bvh.rpl, fused=True)
-    elif (PACKET_IMPL == "packet4" and bvh.rpl == 1
-            and bvh.pk4_meta.shape[0] > 1):
-        from evplp_tpu.trace.packet4 import packet4_trace
-        kern = partial(packet4_trace, bvh.pk_tri_rows, bvh.pk4_bounds,
-                       bvh.pk4_meta, pm)
     elif PACKET_IMPL == "packet7":
         from evplp_tpu.trace.packet7 import packet7_trace
         kern = partial(packet7_trace, bvh.pk_tri_rows, bvh.pk_meta,
-                       bvh.pk_bounds, pm, rpl=bvh.rpl)
-    elif PACKET_IMPL == "packet6":
-        from evplp_tpu.trace.packet6 import packet6_trace
-        kern = partial(packet6_trace, bvh.pk_tri_rows, bvh.pk_meta,
                        bvh.pk_bounds, pm, rpl=bvh.rpl)
     else:
         from evplp_tpu.trace.packet3 import packet3_trace

@@ -56,8 +56,7 @@ def _mk_bvh(nmin, nmax, skip, first, count):
         pk_tri_rows=jnp.zeros((1, 128)), pk_meta=jnp.zeros((1, 4), jnp.int32),
         pk_bounds=jnp.zeros((1, 8)),
         pk_prim_map=jnp.full((8,), -1, jnp.int32),
-        pk4_bounds=jnp.zeros((1, 32)), pk4_meta=jnp.zeros((1, 8), jnp.int32),
-        pk_fb=jnp.zeros((1, 16)), pk_fm=jnp.zeros((1, 4), jnp.int32))
+        )
 
 
 def test_native_traversal_matches_numpy_build():

@@ -6,18 +6,16 @@ import numpy as np
 import pytest
 
 from evplp_tpu.accel.bvh import build_bvh
-from evplp_tpu.trace import packet, packet2, packet3
+from evplp_tpu.trace import packet, packet3
 from evplp_tpu.trace.intersect import Triangles, intersect_closest_brute
 
 
 @pytest.fixture(autouse=True)
 def _interpret():
     packet.set_interpret(True)
-    packet2.set_interpret(True)
     packet3.set_interpret(True)
     yield
     packet.set_interpret(False)
-    packet2.set_interpret(False)
     packet3.set_interpret(False)
 
 
@@ -63,35 +61,6 @@ def test_packet_any_matches_oracle():
     o, d = _rays(r=257, seed=6)
     _, prim, _, _ = packet.packet_trace(tris, bvh, o, d, 1e-3, 2.0,
                                         any_hit=True)
-    ref = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
-    np.testing.assert_array_equal(np.asarray(prim >= 0),
-                                  np.asarray(ref.prim >= 0))
-
-
-def test_packet2_closest_matches_oracle():
-    tris, bvh = _scene(n=311, seed=2)
-    assert bvh.has_packed
-    o, d = _rays(r=300, seed=3)
-    t, prim, u, v = packet2.packet2_trace(
-        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
-        o, d, 1e-4, 3e38)
-    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
-    np.testing.assert_array_equal(np.asarray(prim >= 0),
-                                  np.asarray(ref.prim >= 0))
-    m = np.asarray(prim >= 0)
-    np.testing.assert_array_equal(np.asarray(prim)[m], np.asarray(ref.prim)[m])
-    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
-                               rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref.u)[m],
-                               atol=1e-4)
-
-
-def test_packet2_any_matches_oracle():
-    tris, bvh = _scene(n=150, seed=7)
-    o, d = _rays(r=257, seed=8)
-    _, prim, _, _ = packet2.packet2_trace(
-        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
-        o, d, 1e-3, 2.0, any_hit=True)
     ref = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
     np.testing.assert_array_equal(np.asarray(prim >= 0),
                                   np.asarray(ref.prim >= 0))
@@ -210,36 +179,6 @@ def test_sorted_trace_equals_unsorted():
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
-
-
-def test_packet6_fused_grid_matches_oracle():
-    """packet6 (grid=1, internal block loop + manual DMA) vs oracle,
-    across multiple blocks incl. padding."""
-    from evplp_tpu.trace import packet6
-    packet6.set_interpret(True)
-    try:
-        tris, bvh = _scene(n=170, seed=5)
-        o, d = _rays(r=2100, seed=6)   # 3 blocks at rows=4, npack=2 + pad
-        t, prim, u, v = packet6.packet6_trace(
-            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
-            o, d, 1e-4, 3e38, rows=4, npack=2)
-        ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
-        np.testing.assert_array_equal(np.asarray(prim >= 0),
-                                      np.asarray(ref.prim >= 0))
-        m = np.asarray(prim >= 0)
-        np.testing.assert_array_equal(np.asarray(prim)[m],
-                                      np.asarray(ref.prim)[m])
-        np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
-                                   rtol=1e-4)
-        _, p2, _, _ = packet6.packet6_trace(
-            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
-            o, d, jnp.full((2100,), 1e-3), jnp.full((2100,), 2.0),
-            any_hit=True, rows=4, npack=2)
-        ref2 = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
-        np.testing.assert_array_equal(np.asarray(p2 >= 0),
-                                      np.asarray(ref2.prim >= 0))
-    finally:
-        packet6.set_interpret(False)
 
 
 def test_packet7_two_level_matches_oracle():

@@ -1,4 +1,4 @@
-"""A/B: packet3 (grid-per-block) vs packet6 (fused grid) on real TPU.
+"""A/B packet kernel implementations through the production dispatch.
 
 Benches through the PRODUCTION dispatch (evplp_tpu.trace.intersect), so the
 swizzle / sort pipelines are included.  Workloads mirror the renderer:
@@ -83,7 +83,7 @@ def main():
     variants = make_variants(scene, n_rays, reps)
 
     impls = sys.argv[4].split(",") if len(sys.argv) > 4 else \
-        ["packet3", "packet6"]
+        ["packet3", "packet7"]
     results = {}
     for impl in impls:
         print(f"{impl}:", flush=True)
