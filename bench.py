@@ -233,15 +233,19 @@ def main():
     small = cornell_box()
     mrays_small, ms_small, frames_small, dropped_small = evplp_rate(small)
 
-    # at-capacity row (settles the round-2 295k measurement artifact):
-    # constant box density via room_scale = sqrt(n/8500)
-    cap_boxes = 24500                              # ~295k triangles
-    cap = box_field(num_boxes=cap_boxes,
-                    room_scale=float(np.sqrt(cap_boxes / 8500.0)))
-    cap_tris = int((cap.bvh.pk_prim_map >= 0).sum()) \
-        if cap.bvh.slot_order else int(cap.tris.v0.shape[0])
-    mrays_cap, ms_cap, frames_cap, _ = evplp_rate(
-        cap, frames_budget_s=20.0, max_frames=4)
+    # at-capacity rows (settle the round-2 295k measurement artifact and
+    # prove the 1M-triangle ceiling): constant box density via
+    # room_scale = sqrt(n/8500); both use the fused-node + 42-leaf layout
+    def capacity_row(boxes, budget):
+        sc = box_field(num_boxes=boxes,
+                       room_scale=float(np.sqrt(boxes / 8500.0)))
+        tris = int((sc.bvh.pk_prim_map >= 0).sum()) \
+            if sc.bvh.slot_order else int(sc.tris.v0.shape[0])
+        mr, ms, _, _ = evplp_rate(sc, frames_budget_s=budget, max_frames=3)
+        return tris, mr, ms
+
+    cap_tris, mrays_cap, ms_cap = capacity_row(24500, 15.0)    # ~295k
+    cap1m_tris, mrays_1m, ms_1m = capacity_row(85000, 15.0)    # ~1.02M
 
     # path-tracing throughput on the big scene (1 primary + per-bounce
     # extension + NEE shadow segment per pixel — upper-bound ray count)
@@ -292,6 +296,9 @@ def main():
         "capacity_scene_tris": cap_tris,
         "capacity_mrays_per_sec": round(mrays_cap, 2),
         "capacity_ms_per_frame": round(ms_cap, 1),
+        "capacity_1m_scene_tris": cap1m_tris,
+        "capacity_1m_mrays_per_sec": round(mrays_1m, 2),
+        "capacity_1m_ms_per_frame": round(ms_1m, 1),
         "pt_mrays_per_sec": round(pt_mrays, 2),
         "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
     }))

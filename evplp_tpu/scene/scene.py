@@ -159,7 +159,7 @@ def build_scene(
     # throughput parity (leaf-size sweep measured flat on v5e).
     big = v0.shape[0] > 280_000
     bvh, order = build_bvh(v0, v1, v2, slot_order=True,
-                           leaf_size=32 if big else 8, fused_nodes=big)
+                           leaf_size=42 if big else 14, fused_nodes=big)
     valid = order >= 0
     oi = np.maximum(order, 0)
 

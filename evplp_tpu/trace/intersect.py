@@ -432,7 +432,7 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
             t, prim, u, v = _packet_trace(bvh, o, d, t_min, t_max, False,
                                           tile_shape)
         return Hit(t=t, prim=prim, u=u, v=v)
-    leaf_size = max(leaf_size, 8 * bvh.rpl)
+    leaf_size = max(leaf_size, 14 * bvh.rpl)
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, False, leaf_size)
     )
@@ -463,7 +463,7 @@ def intersect_any(tris: Triangles, bvh: BVH, o, d,
             _, prim, _, _ = _packet_trace(bvh, o, d, t_min, t_max, True,
                                           tile_shape)
         return prim >= 0
-    leaf_size = max(leaf_size, 8 * bvh.rpl)
+    leaf_size = max(leaf_size, 14 * bvh.rpl)
     f = jax.vmap(
         lambda oo, dd, lo, hi: _traverse_one(tris, bvh, oo, dd, lo, hi, True, leaf_size)
     )

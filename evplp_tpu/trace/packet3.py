@@ -30,8 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from evplp_tpu.trace.intersect import TRI_EPS
 
 LANES = 128
-SLOT = 16                # lanes per triangle slot
-LEAF = 8                 # triangles per leaf row
+SLOT = 9                 # lanes per triangle slot (v0, e1, e2)
+LEAF = 14                # triangles per leaf row (14*9 = 126 lanes)
 ROWS = 64                # rows per packet (rays = ROWS*LANES)
 NPACK = 2                # interleaved packets per kernel instance
 QCAP = 8                 # leaf-queue capacity per packet
@@ -215,10 +215,10 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             return jnp.int32(0)
 
         def _meta_words(row):
-            """(w0, w1) bitcast from a fused node row's lanes 6/7."""
-            w0 = jax.lax.bitcast_convert_type(row[6], jnp.int32)
-            w1 = jax.lax.bitcast_convert_type(row[7], jnp.int32)
-            return w0, w1
+            """(w0, w1) from a fused node row's lanes 6/7 (bitcast the
+            VECTOR, then extract — Mosaic has no scalar f32->i32 bitcast)."""
+            wrow = jax.lax.bitcast_convert_type(row, jnp.int32)
+            return wrow[6], wrow[7]
 
         def cond(state):
             curs, sps, qns = state[0], state[1], state[2]

@@ -28,8 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 from evplp_tpu.trace.intersect import TRI_EPS
 
 LANES = 128
-SLOT = 16                # lanes per triangle slot
-LEAF = 8                 # triangles per leaf row
+SLOT = 9                 # lanes per triangle slot (v0, e1, e2)
+LEAF = 14                # triangles per leaf row (14*9 = 126 lanes)
 ROWS = 64                # rows per packet (rays = ROWS*LANES)
 NPACK = 2                # interleaved packets per kernel instance
 QCAP = 32                # leaf-queue capacity per packet (burst size)

@@ -136,7 +136,7 @@ def test_packet3_multirow_leaves_match_oracle(leaf_size):
     v1 = base + rng.normal(0, 0.25, (n, 3)).astype(np.float32)
     v2 = base + rng.normal(0, 0.25, (n, 3)).astype(np.float32)
     bvh, perm = build_bvh(v0, v1, v2, leaf_size=leaf_size, pack=True)
-    assert bvh.rpl == leaf_size // 8
+    assert bvh.rpl == -(-leaf_size // 14)
     v0, v1, v2 = v0[perm], v1[perm], v2[perm]
     e1, e2 = v1 - v0, v2 - v0
     nrm = np.cross(e1, e2)
@@ -242,11 +242,11 @@ def test_packet3_fused_nodes_matches_oracle():
     from evplp_tpu.accel.bvh import build_bvh
     bvh32, perm = build_bvh(v0, v1, v2, leaf_size=32, pack=True,
                             fused_nodes=True)
-    assert bvh32.fused_nodes and bvh32.rpl == 4
+    assert bvh32.fused_nodes and bvh32.rpl == 3
     o, d = _rays(r=300, seed=3)
     t, prim, u, v = packet3.packet3_trace(
         bvh32.pk_tri_rows, bvh32.pk_meta, bvh32.pk_bounds,
-        bvh32.pk_prim_map, o, d, 1e-4, 3e38, rows=4, npack=2, rpl=4,
+        bvh32.pk_prim_map, o, d, 1e-4, 3e38, rows=4, npack=2, rpl=3,
         fused=True)
     ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
     np.testing.assert_array_equal(np.asarray(prim >= 0),
@@ -261,7 +261,7 @@ def test_packet3_fused_nodes_matches_oracle():
     _, p2, _, _ = packet3.packet3_trace(
         bvh32.pk_tri_rows, bvh32.pk_meta, bvh32.pk_bounds,
         bvh32.pk_prim_map, o, d, jnp.full((300,), 1e-3), tmax,
-        any_hit=True, rows=4, npack=2, rpl=4, fused=True)
+        any_hit=True, rows=4, npack=2, rpl=3, fused=True)
     ref2 = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
     live = np.arange(300) % 3 != 0
     np.testing.assert_array_equal(np.asarray(p2 >= 0)[live],
