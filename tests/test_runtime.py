@@ -116,3 +116,37 @@ def test_vsl_end_to_end(tmp_path):
     res = render_config(path)
     img = res.images["combined"]
     assert np.isfinite(img).all() and (img >= 0).all() and img.max() > 0
+
+
+def test_budget_pacer_bounds_overshoot(monkeypatch):
+    """The pacer must fence every frame near the budget so overshoot is
+    ~one frame even for slow techniques (round-2 overshot by up to a sync
+    interval: 26.2 s on a 15 s budget)."""
+    import evplp_tpu.runtime.loop as loop_mod
+    from evplp_tpu.runtime.loop import BudgetPacer
+
+    clock = {"t": 0.0}
+    monkeypatch.setattr(loop_mod.time, "perf_counter", lambda: clock["t"])
+    monkeypatch.setattr(loop_mod, "_host_sync", lambda x: None)
+
+    frame_s = 0.9                        # slow frames vs a 10 s budget
+    pacer = BudgetPacer(10_000.0, t0=0.0)
+    iters = 0
+    fences = 0
+    orig = loop_mod.BudgetPacer.should_stop
+    while True:
+        clock["t"] += frame_s
+        iters += 1
+        before = pacer.next_sync
+        stopped = pacer.should_stop(iters, None)
+        if iters >= before:
+            fences += 1
+        if stopped:
+            break
+        assert iters < 1000
+    elapsed = clock["t"]
+    # overshoot bounded by ~one frame
+    assert elapsed <= 10.0 + frame_s + 1e-6, elapsed
+    assert elapsed >= 10.0
+    # far from the budget the pacer must NOT fence every frame
+    assert fences < iters
