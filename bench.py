@@ -188,6 +188,23 @@ def kernel_check(scene, n_rays=8192):
         and np.allclose(np.asarray(hit16.t)[m16],
                         np.asarray(t_ref)[m16], rtol=1e-4))
 
+    # 5: fused node rows (the >280k-triangle layout) on the same geometry
+    bvhf, permf = build_bvh(v0[real], v1[real], v2[real], leaf_size=42,
+                            pack=True, fused_nodes=True)
+    ppf = np.maximum(permf, 0)
+    e1f = (v1 - v0)[real][ppf]
+    e2f = (v2 - v0)[real][ppf]
+    nf = np.cross(e1f, e2f)
+    nf /= np.maximum(np.linalg.norm(nf, axis=-1, keepdims=True), 1e-20)
+    trisf = Triangles(v0=jnp.asarray(v0[real][ppf]), e1=jnp.asarray(e1f),
+                      e2=jnp.asarray(e2f), n=jnp.asarray(nf.astype(np.float32)))
+    hitf = intersect_closest(trisf, bvhf, o, d, t_min=1e-4)
+    mf = np.asarray(hitf.prim) >= 0
+    checks["fused_nodes_closest"] = bool(
+        (mf == (np.asarray(p_ref) >= 0)).all()
+        and np.allclose(np.asarray(hitf.t)[mf],
+                        np.asarray(t_ref)[mf], rtol=1e-4))
+
     return {k: ("pass" if v else "fail") for k, v in checks.items()}
 
 
