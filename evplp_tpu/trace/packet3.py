@@ -161,11 +161,15 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             tmin = tmin_ref[sl]
 
             def entry(q, carry):
-                best_t, best_p, best_u, best_v = carry
                 row = qrow_ref[k * QSTRIDE + q]
                 count = qcnt_ref[k * QSTRIDE + q]
-                for rr in range(rpl):
-                    blk = tri_s[row + rr, :]
+
+                def row_tests(rr, row_off, carry):
+                    """Test the LEAF triangles of row `row_off` (traced
+                    scalar); `rr` is the row's index within the leaf (also
+                    traced) for the count mask / slot ids."""
+                    best_t, best_p, best_u, best_v = carry
+                    blk = tri_s[row_off, :]
                     for j in range(LEAF):
                         b = j * SLOT
                         v0x_, v0y_, v0z_ = blk[b], blk[b + 1], blk[b + 2]
@@ -192,7 +196,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                               & (vv >= 0.0) & (uu + vv <= 1.0)
                               & (tt > tmin) & (tt < best_t)
                               & (rr * LEAF + j < count))
-                        slot_id = (row + rr) * LEAF + j
+                        slot_id = row_off * LEAF + j
                         if any_hit:
                             # occlusion only: no uv/t refinement needed
                             best_p = jnp.where(ok & (best_p < 0), slot_id,
@@ -202,7 +206,23 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                             best_p = jnp.where(ok, slot_id, best_p)
                             best_u = jnp.where(ok, uu, best_u)
                             best_v = jnp.where(ok, vv, best_v)
-                return best_t, best_p, best_u, best_v
+                    return best_t, best_p, best_u, best_v
+
+                if rpl <= 4:
+                    # production leaf sizes (14/42): straight-line, exactly
+                    # the round-2 code
+                    for rr in range(rpl):
+                        carry = row_tests(rr, row + rr, carry)
+                else:
+                    # fat leaves: roll the row loop so the instruction
+                    # footprint stays ONE row of tests (an unrolled
+                    # rpl*LEAF body re-creates the instruction-fetch trap
+                    # the rolled drain fixed, see drain() docstring)
+                    carry = jax.lax.fori_loop(
+                        0, rpl,
+                        lambda rr, c: row_tests(rr, row + rr, c),
+                        carry)
+                return carry
 
             init = (t_out[sl], prim_out[sl], u_out[sl], v_out[sl])
             best_t, best_p, best_u, best_v = jax.lax.fori_loop(

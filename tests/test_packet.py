@@ -125,10 +125,11 @@ def test_coincident_centroids_no_fat_leaves():
     assert int(jnp.max(bvh.node_count)) <= 8
 
 
-@pytest.mark.parametrize("leaf_size", [16, 32])
+@pytest.mark.parametrize("leaf_size", [16, 32, 112])
 def test_packet3_multirow_leaves_match_oracle(leaf_size):
-    """rpl>1 packing (16/32-triangle leaves, 2/4 rows per leaf) must give
-    identical hits — traversal halves its node count, drains expand rows."""
+    """rpl>1 packing (16/32/112-triangle leaves; 2/4/8 rows per leaf) must
+    give identical hits — traversal shrinks node count, drains expand rows.
+    leaf 112 (rpl 8) exercises the ROLLED drain row loop (rpl > 4)."""
     rng = np.random.default_rng(11)
     n = 170
     base = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
