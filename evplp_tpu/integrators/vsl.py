@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from evplp_tpu.core import brdf
 from evplp_tpu.core import mathutil as mu
+from evplp_tpu.core import rng
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.integrators.light_trace import FLAG_VPL, PhotonMap
 from evplp_tpu.scene.scene import SceneData
@@ -126,8 +127,14 @@ def _record_ctx(gbuf, rec, vsl_radius, gate, wi10):
     }
 
 
-def _sample_step(rec, ctx, pkeys, flux, black2, acc, s):
-    """One MC sample of the 3-strategy MIS estimator over a pixel batch."""
+def _sample_step(rec, ctx, rng_ctx, flux, black2, acc, s):
+    """One MC sample of the 3-strategy MIS estimator over a pixel batch.
+
+    rng_ctx = (seed0, seed1, pixel_ids, rec_id): the 8 uniforms of this
+    sample are two pcg4d draws on (pixel_id^seed0, rec_id, s^seed1, tag)
+    — a pure function of GLOBAL ids, so any pixel permutation / chunking
+    draws the same numbers (and the Pallas kernel can reproduce them
+    bit-for-bit)."""
     n = ctx["pos"].shape[0]
     nv12 = ctx["nv12"]
     half_cone = ctx["half_cone"]
@@ -139,17 +146,15 @@ def _sample_step(rec, ctx, pkeys, flux, black2, acc, s):
     wi10 = ctx["wi10"]
     num_samples = ctx["num_samples"]
 
-    def pdraw(tag, width=None):
-        if width is None:
-            f = lambda k: jax.random.uniform(
-                jax.random.fold_in(jax.random.fold_in(k, s), tag))
-        else:
-            f = lambda k: jax.random.uniform(
-                jax.random.fold_in(jax.random.fold_in(k, s), tag), (width,))
-        return jax.vmap(f)(pkeys)
+    seed0, seed1, pixel_ids, rec_id = rng_ctx
+    c0 = pixel_ids.astype(jnp.uint32) ^ seed0
+    c1 = jnp.uint32(rec_id)
+    c2 = jnp.uint32(s) ^ seed1
+    u0, u1, u2, u3 = rng.uniform4(c0, c1, c2, jnp.uint32(0))
+    u4, u5, u6, u7 = rng.uniform4(c0, c1, c2, jnp.uint32(1))
 
     # ---- strategy 1: uniform cone (lighttracing.cu:395-446) ----
-    u_cone = pdraw(0, 2)
+    u_cone = jnp.stack([u0, u1], axis=-1)
     local = mu.square_to_solid_angle(u_cone, half_cone)
     w12c = mu.normalize(mu.from_local(local, nv12))
     cc = (jnp.maximum(mu.dot(ctx["n"], w12c), 0.0)
@@ -166,8 +171,8 @@ def _sample_step(rec, ctx, pkeys, flux, black2, acc, s):
                        w_cone[:, None] * c_cone, 0.0)
 
     # ---- strategy 2: eye-side BRDF sampling (:448-521) ----
-    u_sel1 = pdraw(1)
-    u_b1 = pdraw(2, 2)
+    u_sel1 = u2
+    u_b1 = jnp.stack([u3, u4], axis=-1)
     w12b, _, lobe_w1, _ = brdf.sample_combined(
         jnp.minimum(u_sel1, 0.999999), u_b1, wi10, ctx["n"],
         ctx["n"], ctx["kd"], ctx["ks"], ctx["ns"])
@@ -184,8 +189,8 @@ def _sample_step(rec, ctx, pkeys, flux, black2, acc, s):
                      w_b1[:, None] * c_b1, 0.0)
 
     # ---- strategy 3: light-side BRDF sampling (:523-594) ----
-    u_sel2 = pdraw(3)
-    u_b2 = pdraw(4, 2)
+    u_sel2 = u5
+    u_b2 = jnp.stack([u6, u7], axis=-1)
     rec_kd = jnp.broadcast_to(rec["kd"], (n, 3))
     rec_ks = jnp.broadcast_to(rec["ks"], (n, 3))
     rec_n = jnp.broadcast_to(rec["normal"], (n, 3))
@@ -212,7 +217,7 @@ def _sample_step(rec, ctx, pkeys, flux, black2, acc, s):
     return acc + jnp.where(use, c_cone + c_b1 + c_b2, 0.0)
 
 
-def _sample_loop(rec, ctx, pkeys, flux, black2):
+def _sample_loop(rec, ctx, rng_ctx, flux, black2):
     """Sample loop to THIS batch's max needed count; returns (n, 3)."""
     n = ctx["pos"].shape[0]
     s_needed = jnp.minimum(
@@ -225,7 +230,7 @@ def _sample_loop(rec, ctx, pkeys, flux, black2):
 
     def body(carry):
         s, acc = carry
-        return s + 1, _sample_step(rec, ctx, pkeys, flux, black2, acc, s)
+        return s + 1, _sample_step(rec, ctx, rng_ctx, flux, black2, acc, s)
 
     acc0 = jnp.zeros((n, 3), jnp.float32)
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
@@ -234,21 +239,23 @@ def _sample_loop(rec, ctx, pkeys, flux, black2):
     return jnp.where(ctx["gate"][:, None], out, 0.0)
 
 
-def _sample_record(gbuf, rec, gate, pkeys, vsl_radius, vsl_inv_pi_r2,
+def _sample_record(gbuf, rec, gate, rng_ctx, vsl_radius, vsl_inv_pi_r2,
                    wi10, chunks: int = 1):
     """Sampling of one VSL record vs all pixels (gbuf order): (N, 3).
 
-    pkeys: per-pixel RNG keys (counter-based on the GLOBAL pixel id, so any
-    pixel permutation/sharding draws the same numbers).
+    rng_ctx = (seed0, seed1, pixel_ids, rec_id) — draws are counter-based
+    on the GLOBAL pixel id, so any pixel permutation/sharding draws the
+    same numbers.
     chunks > 1: pixels are processed in `chunks` equal slices, each with its
     OWN adaptive sample bound (callers pass difficulty-sorted pixels)."""
     n = gbuf.position.shape[0]
     ctx = _record_ctx(gbuf, rec, vsl_radius, gate, wi10)
     flux = rec["flux"][None, :] * vsl_inv_pi_r2
     black2 = brdf.is_black(rec["kd"][None, :], rec["ks"][None, :])
+    seed0, seed1, pixel_ids, rec_id = rng_ctx
 
     if chunks <= 1 or n % chunks != 0:
-        return _sample_loop(rec, ctx, pkeys, flux, black2)
+        return _sample_loop(rec, ctx, rng_ctx, flux, black2)
 
     cn = n // chunks
 
@@ -259,7 +266,8 @@ def _sample_record(gbuf, rec, gate, pkeys, vsl_radius, vsl_inv_pi_r2,
             return jax.lax.dynamic_slice_in_dim(v, start, cn, axis=0)
 
         ctx_c = {k: dsl(v) for k, v in ctx.items()}
-        out_c = _sample_loop(rec, ctx_c, dsl(pkeys), flux, black2)
+        rng_c = (seed0, seed1, dsl(pixel_ids), rec_id)
+        out_c = _sample_loop(rec, ctx_c, rng_c, flux, black2)
         return jax.lax.dynamic_update_slice_in_dim(acc, out_c, start,
                                                    axis=0), None
 
@@ -278,11 +286,12 @@ def _records_of(pm: PhotonMap, num_vsl_paths: int):
     }
 
 
-@partial(jax.jit, static_argnames=("tile_shape", "chunks", "sorted_px"))
+@partial(jax.jit, static_argnames=("tile_shape", "chunks", "sorted_px",
+                                   "kernel_rows"))
 def _vsl_scan(scene: SceneData, gbuf: GBuffer, screen, perm,
               records_grouped, key, i0, vsl_radius, vsl_inv_pi_r2, wi10,
               pixel_ids, acc0, tile_shape=None, chunks: int = 1,
-              sorted_px: bool = False):
+              sorted_px: bool = False, kernel_rows: int = 0):
     """Scan over GROUPS of records: one record-major batched shadow trace
     per group (screen order, tile-shaped — vpl_gather's coherent shape),
     then the sampling loops per record over the (possibly sorted) pixels.
@@ -290,8 +299,21 @@ def _vsl_scan(scene: SceneData, gbuf: GBuffer, screen, perm,
     gbuf/wi10/pixel_ids are in sampling order; `screen` = (pos, normal,
     stencil) in screen order with `perm` mapping screen -> sampling order
     (both None-equivalent when sorted_px is False, where gbuf IS screen
-    order)."""
+    order).
+
+    kernel_rows > 0: run the whole group's sample loops in the Pallas
+    kernel (vsl_kernel.vsl_sample_group, block = kernel_rows*128 pixels)
+    instead of the XLA per-record loop.  Same counters -> same draws;
+    outputs agree to float tolerance (tests/test_vsl_kernel.py)."""
     screen_pos, screen_normal, screen_stencil = screen
+    seed0, seed1 = rng.seeds_from_key(key)
+    group = records_grouped["pos"].shape[1]
+    if kernel_rows:
+        from evplp_tpu.integrators import vsl_kernel
+        pix = vsl_kernel.pack_pixels(gbuf.position, gbuf.normal, gbuf.kd,
+                                     gbuf.ks, gbuf.ns, wi10)
+        pid_planes = pixel_ids.reshape(-1, 128)
+        flts = jnp.asarray([vsl_radius], jnp.float32)
 
     def group_step(carry, recs):
         acc, i = carry
@@ -300,12 +322,25 @@ def _vsl_scan(scene: SceneData, gbuf: GBuffer, screen, perm,
         if sorted_px:
             gates = gates[:, perm]
 
+        if kernel_rows:
+            shifts = jnp.arange(group, dtype=jnp.int32)[:, None]
+            mask = jnp.sum(gates.astype(jnp.int32) << shifts,
+                           axis=0, dtype=jnp.int32)
+            table = vsl_kernel.pack_records(recs, vsl_inv_pi_r2)
+            ints = jnp.stack([seed0.astype(jnp.int32),
+                              seed1.astype(jnp.int32), i])
+            out = vsl_kernel.vsl_sample_group(
+                pix, pid_planes, mask.reshape(-1, 128), table, ints,
+                flts, group=group, rows=kernel_rows)
+            contrib = jnp.stack(
+                [out[c].reshape(-1) for c in range(3)], axis=-1)
+            return (acc + contrib, i + group), None
+
         def rec_step(c2, xs):
             acc2, i2 = c2
             rec, gate = xs
-            pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
-                jax.random.fold_in(key, i2), pixel_ids)
-            contrib = _sample_record(gbuf, rec, gate, pkeys, vsl_radius,
+            rng_ctx = (seed0, seed1, pixel_ids, i2)
+            contrib = _sample_record(gbuf, rec, gate, rng_ctx, vsl_radius,
                                      vsl_inv_pi_r2, wi10, chunks=chunks)
             return (acc2 + contrib, i2 + 1), None
 
@@ -341,6 +376,18 @@ def _permute_gbuf(gbuf: GBuffer, perm):
 # keeps programs short.
 VSL_RECORD_CHUNK = 16
 TRACE_GROUP = 8          # records per batched record-major shadow trace
+KERNEL_ROWS = 32         # Pallas sample-kernel block = KERNEL_ROWS*128 px
+
+
+def _use_sample_kernel() -> bool:
+    """Pallas sample-loop kernel: on for TPU, off for CPU (tests/XLA
+    fallback); EVPLP_VSL_KERNEL=0/1 overrides."""
+    import os
+    env = os.environ.get("EVPLP_VSL_KERNEL")
+    if env is not None:
+        return env not in ("0", "false", "")
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu",)
 
 
 def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
