@@ -51,7 +51,10 @@ def uniform4(x, y, z, w):
     """Four U[0,1) floats from four uint32 counters (24-bit mantissa)."""
     a, b, c, d = pcg4d(x, y, z, w)
     inv = jnp.float32(_INV24)
-    to_f = lambda v: (v >> jnp.uint32(8)).astype(jnp.float32) * inv
+    # uint32 -> int32 -> f32: exact (top 8 bits shifted off) and Mosaic
+    # has no direct uint32->f32 lowering
+    to_f = lambda v: (v >> jnp.uint32(8)).astype(jnp.int32).astype(
+        jnp.float32) * inv
     return to_f(a), to_f(b), to_f(c), to_f(d)
 
 

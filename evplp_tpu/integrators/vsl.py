@@ -327,11 +327,13 @@ def _vsl_scan(scene: SceneData, gbuf: GBuffer, screen, perm,
             mask = jnp.sum(gates.astype(jnp.int32) << shifts,
                            axis=0, dtype=jnp.int32)
             table = vsl_kernel.pack_records(recs, vsl_inv_pi_r2)
+            cosh, cnts = vsl_kernel.ctx_planes(gbuf.position, recs["pos"],
+                                               vsl_radius)
             ints = jnp.stack([seed0.astype(jnp.int32),
                               seed1.astype(jnp.int32), i])
             out = vsl_kernel.vsl_sample_group(
-                pix, pid_planes, mask.reshape(-1, 128), table, ints,
-                flts, group=group, rows=kernel_rows)
+                pix, pid_planes, mask.reshape(-1, 128), cosh, cnts,
+                table, ints, flts, group=group, rows=kernel_rows)
             contrib = jnp.stack(
                 [out[c].reshape(-1) for c in range(3)], axis=-1)
             return (acc + contrib, i + group), None
@@ -432,6 +434,12 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
     wi10 = mu.normalize(cam[None, :] - gbuf.position)
     acc = jnp.zeros_like(gbuf.position)
 
+    # Pallas sample-loop kernel: needs 128-lane plane layout and a row
+    # count divisible by the block (TPU block rows must be 8-aligned)
+    kernel_rows = 0
+    if _use_sample_kernel() and n % (KERNEL_ROWS * 128) == 0:
+        kernel_rows = KERNEL_ROWS
+
     # pad the record count to a trace-group multiple (flags=0 rows gate to
     # zero and their sample loops run zero steps)
     pad = (-m) % TRACE_GROUP
@@ -453,7 +461,7 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                         jnp.int32(g * TRACE_GROUP), vsl_radius,
                         vsl_inv_pi_r2, wi10, pixel_ids, acc,
                         tile_shape=tile_shape, chunks=chunks,
-                        sorted_px=sorted_px)
+                        sorted_px=sorted_px, kernel_rows=kernel_rows)
     if inv is not None:
         acc = acc[inv]
     return acc / float(num_vsl_paths)

@@ -49,12 +49,18 @@ NPLANE = 16
 NREC_F = 24
 MAX_VSL_SAMPLES = 101
 
-_COMPILED = True
+_INTERPRET = None  # None -> auto: interpret on CPU, compiled on TPU
 
 
-def set_interpret(interpret: bool) -> None:
-    global _COMPILED
-    _COMPILED = not interpret
+def set_interpret(interpret: bool | None) -> None:
+    global _INTERPRET
+    _INTERPRET = interpret
+
+
+def _interp() -> bool:
+    if _INTERPRET is not None:
+        return _INTERPRET
+    return jax.default_backend() == "cpu"
 
 
 # ---- plane-form vec3 helpers (x, y, z are (R, 128) arrays) ----
@@ -126,8 +132,8 @@ def _max3(a, b, c):
 
 
 def _kernel(group: int, rows: int):
-    def kernel(pix_ref, pid_ref, gate_ref, rec_ref, int_ref, flt_ref,
-               out_ref):
+    def kernel(pix_ref, pid_ref, gate_ref, cosh_ref, cnt_ref, rec_ref,
+               int_ref, flt_ref, out_ref):
         # ---- per-pixel constants (resident for the whole group) ----
         p = (pix_ref[0], pix_ref[1], pix_ref[2])
         n = (pix_ref[3], pix_ref[4], pix_ref[5])
@@ -149,7 +155,7 @@ def _kernel(group: int, rows: int):
         seed0 = int_ref[0]
         seed1 = int_ref[1]
         rec_base = int_ref[2]
-        radius = flt_ref[0]
+        del flt_ref  # radius folded into the precomputed ctx planes
 
         c0 = pid.astype(jnp.uint32) ^ jnp.uint32(seed0)
 
@@ -166,18 +172,17 @@ def _kernel(group: int, rows: int):
             p_l2 = rec_ref[g, 23]
             r2n = _normalize(r2)
 
-            # ---- ctx (vsl._record_ctx in plane form) ----
+            # ---- ctx (vsl._record_ctx in plane form); cos_half and the
+            # adaptive count come in as planes: Mosaic has no asin
+            # lowering, and the count's int cast must match XLA exactly ----
             v12 = _sub(rpos, p)
             d2 = jnp.maximum(_dot(v12, v12), 1e-20)
             dist = jnp.sqrt(d2)
             nv12 = _scale(v12, 1.0 / dist)
-            rdratio = radius / dist
-            half_cone = jnp.where(rdratio >= 1.0, jnp.pi / 2.0,
-                                  jnp.arcsin(jnp.minimum(rdratio, 1.0)))
-            cos_half = jnp.cos(half_cone)
+            cos_half = cosh_ref[g]
             solid_angle = TWO_PI * (1.0 - cos_half)
             inv_sa = 1.0 / jnp.maximum(solid_angle, 1e-12)
-            num = (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1
+            num = (cnt_ref[g // 4] >> (8 * (g % 4))) & 0xFF
             gate = ((gates >> g) & 1) > 0
 
             s_needed = jnp.minimum(
@@ -391,16 +396,41 @@ def pack_records(recs, vsl_inv_pi_r2):
     ], axis=1).astype(jnp.float32)
 
 
+def ctx_planes(position, rec_pos, radius):
+    """XLA-side per-(record, pixel) ctx the kernel cannot compute itself:
+    cos_half planes (G, NR, 128) f32 and the adaptive counts packed 4
+    records per int32 plane (ceil(G/4), NR, 128) — Mosaic has no asin,
+    and the count's int cast must match vsl._record_ctx bit-for-bit."""
+    g = rec_pos.shape[0]
+    n = position.shape[0]
+    v12 = rec_pos[:, None, :] - position[None]
+    d2 = jnp.maximum(jnp.sum(v12 * v12, -1), 1e-20)
+    dist = jnp.sqrt(d2)
+    rdratio = radius / dist
+    half_cone = jnp.where(rdratio >= 1.0, jnp.pi / 2.0,
+                          jnp.arcsin(jnp.minimum(rdratio, 1.0)))
+    cos_half = jnp.cos(half_cone)
+    num = (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1
+    ncnt = -(-g // 4)
+    cnt = jnp.zeros((ncnt, n), jnp.int32)
+    for i in range(g):
+        cnt = cnt.at[i // 4].set(cnt[i // 4] | (num[i] << (8 * (i % 4))))
+    return (cos_half.reshape(g, n // LANES, LANES),
+            cnt.reshape(ncnt, n // LANES, LANES))
+
+
 @partial(jax.jit, static_argnames=("group", "rows"))
-def vsl_sample_group(pix, pid, gates, recs, ints, flts,
+def vsl_sample_group(pix, pid, gates, cosh, cnts, recs, ints, flts,
                      group: int, rows: int = 32):
     """One group of `group` records over all pixels; returns (3, NR, 128).
 
-    pix (16, NR, 128) f32, pid/gates (NR, 128) int32, recs (group, 24)
-    f32, ints (3,) int32 [seed0, seed1, rec_base], flts (1,) f32
-    [radius].  NR must be a multiple of `rows`."""
+    pix (16, NR, 128) f32, pid/gates (NR, 128) int32, cosh/cnts from
+    ctx_planes, recs (group, 24) f32, ints (3,) int32 [seed0, seed1,
+    rec_base], flts (1,) f32 [unused].  NR must be a multiple of
+    `rows`."""
     nr = pix.shape[1]
     assert nr % rows == 0, (nr, rows)
+    ncnt = cnts.shape[0]
     grid = (nr // rows,)
     return pl.pallas_call(
         _kernel(group, rows),
@@ -409,11 +439,13 @@ def vsl_sample_group(pix, pid, gates, recs, ints, flts,
             pl.BlockSpec((NPLANE, rows, LANES), lambda i: (0, i, 0)),
             pl.BlockSpec((rows, LANES), lambda i: (i, 0)),
             pl.BlockSpec((rows, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((group, rows, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec((ncnt, rows, LANES), lambda i: (0, i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3, rows, LANES), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((3, nr, LANES), jnp.float32),
-        interpret=not _COMPILED,
-    )(pix, pid, gates, recs, ints, flts)
+        interpret=_interp(),
+    )(pix, pid, gates, cosh, cnts, recs, ints, flts)

@@ -74,9 +74,10 @@ def test_kernel_matches_xla_sample_loop(rows):
     mask = jnp.zeros((n,), jnp.int32)
     for i in range(g):
         mask = mask | (gates[i].astype(jnp.int32) << i)
+    cosh, cnts = vsl_kernel.ctx_planes(gbuf.position, recs["pos"], radius)
     out = vsl_kernel.vsl_sample_group(
         pix, pixel_ids.reshape(-1, 128), mask.reshape(-1, 128),
-        vsl_kernel.pack_records(recs, inv_pi_r2),
+        cosh, cnts, vsl_kernel.pack_records(recs, inv_pi_r2),
         jnp.asarray([seed0.astype(jnp.int32), seed1.astype(jnp.int32),
                      rec_base], jnp.int32),
         jnp.asarray([radius], jnp.float32), group=g, rows=rows)
@@ -85,3 +86,27 @@ def test_kernel_matches_xla_sample_loop(rows):
     assert bool(jnp.any(want != 0.0))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_vsl_gather_kernel_path_matches_xla(monkeypatch):
+    """Full vsl_gather with the Pallas sample kernel == the XLA scan path
+    (res 64 -> 4096 px = one KERNEL_ROWS block; same counters, same
+    draws)."""
+    from evplp_tpu.core.sampling import iteration_key
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.light_trace import trace_light_paths
+    from evplp_tpu.scene.procedural import cornell_box
+
+    vsl_kernel.set_interpret(True)
+    scene = cornell_box()
+    res = 64
+    gbuf = trace_gbuffer(scene, res, res)
+    pm = trace_light_paths(scene, iteration_key(7, 0), 16, 3)
+    r = jnp.float32(0.08)
+    monkeypatch.setenv("EVPLP_VSL_KERNEL", "1")
+    a = vsl.vsl_gather(scene, gbuf, pm, iteration_key(8, 0), r, 16)
+    monkeypatch.setenv("EVPLP_VSL_KERNEL", "0")
+    b = vsl.vsl_gather(scene, gbuf, pm, iteration_key(8, 0), r, 16)
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.max() > 0
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
