@@ -288,6 +288,31 @@ def main():
     pt_rays = n_px * (1 + NUM_BOUNCES * 2)
     pt_mrays = pt_rays * pt_frames / pt_elapsed / 1e6
 
+    # VSL protocol frame (cornell_vsl.json scale: 1280x720, 100 paths,
+    # vslRadiusPercentage=0.05) — the VERDICT round-2 target is <= 3 s
+    from evplp_tpu.integrators.light_trace import trace_light_paths
+    from evplp_tpu.integrators.vsl import vsl_gather
+    VSL_W, VSL_H, VSL_PATHS = 1280, 720, 100
+    vsl_radius = jnp.float32(max(small.bounding_radius * 0.05, 0.008))
+    vsl_gbuf = trace_gbuffer(small, VSL_W, VSL_H, None)
+    jax.block_until_ready(vsl_gbuf.position)
+
+    def vsl_frame(i):
+        pm = trace_light_paths(small, iteration_key(2, i), VSL_PATHS,
+                               NUM_BOUNCES + 1)
+        return vsl_gather(small, vsl_gbuf, pm, iteration_key(5, i),
+                          vsl_radius, VSL_PATHS,
+                          tile_shape=(VSL_H, VSL_W))
+
+    vacc = vsl_frame(0)
+    np.asarray(jax.device_get(vacc.ravel()[0]))
+    t0 = time.perf_counter()
+    vsl_frames = 2
+    for i in range(vsl_frames):
+        vacc = vacc + vsl_frame(1 + i)
+    np.asarray(jax.device_get(vacc.ravel()[0]))
+    vsl_ms = (time.perf_counter() - t0) / vsl_frames * 1000.0
+
     print(json.dumps({
         "metric": "evplp_100k_mrays_per_sec",
         "value": round(mrays_big, 2),
@@ -318,6 +343,8 @@ def main():
         "capacity_1m_ms_per_frame": round(ms_1m, 1),
         "pt_mrays_per_sec": round(pt_mrays, 2),
         "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
+        "vsl_ms_per_frame": round(vsl_ms, 1),
+        "vsl_protocol": "1280x720, 100 paths, r%=0.05 (cornell_vsl.json)",
     }))
 
 

@@ -416,11 +416,23 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
     m = records["pos"].shape[0]
     screen = (gbuf.position, gbuf.normal, gbuf.stencil)
 
+    # Pallas sample-loop kernel: needs 128-lane plane layout and a row
+    # count divisible by the block (TPU block rows must be 8-aligned).
+    # Its per-block (KERNEL_ROWS*128 px) sample bounds are finer than the
+    # sorted chunks', and screen order is already spatially coherent, so
+    # the difficulty sort's permutation gathers are a net LOSS with the
+    # kernel (measured: 2.47 s sorted vs 1.58 s unsorted at protocol
+    # scale) — skip it.
+    kernel_rows = 0
+    if _use_sample_kernel() and n % (KERNEL_ROWS * 128) == 0:
+        kernel_rows = KERNEL_ROWS
+
     chunks = 1
     inv = None
     perm = jnp.zeros((0,), jnp.int32)
     sorted_px = False
-    if pixel_sort and n % SORT_CHUNKS == 0 and n >= SORT_CHUNKS * 64:
+    if (pixel_sort and not kernel_rows and n % SORT_CHUNKS == 0
+            and n >= SORT_CHUNKS * 64):
         diff = _difficulty_key(records, gbuf.position, gbuf.stencil,
                                vsl_radius)
         perm = jnp.argsort(-diff, stable=True)
@@ -433,12 +445,6 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
 
     wi10 = mu.normalize(cam[None, :] - gbuf.position)
     acc = jnp.zeros_like(gbuf.position)
-
-    # Pallas sample-loop kernel: needs 128-lane plane layout and a row
-    # count divisible by the block (TPU block rows must be 8-aligned)
-    kernel_rows = 0
-    if _use_sample_kernel() and n % (KERNEL_ROWS * 128) == 0:
-        kernel_rows = KERNEL_ROWS
 
     # pad the record count to a trace-group multiple (flags=0 rows gate to
     # zero and their sample loops run zero steps)
