@@ -344,6 +344,13 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
               + (d[:, 2] < 0).astype(jnp.int32))
     key = ((octant << (3 * bits)) | (cell[:, 0] << (2 * bits))
            | (cell[:, 1] << bits) | cell[:, 2])
+    # dead lanes (empty interval: terminated paths, pre-culled segments)
+    # sort to the END so they cluster into all-dead packets that exit the
+    # traversal after ~1 iteration — lane compaction without the
+    # gather/scatter cost (their per-lane results are unchanged: a pure
+    # permutation, and empty intervals never hit)
+    dead = t_max <= t_min
+    key = jnp.where(dead, jnp.int32(1) << 20, key)
     perm = jnp.argsort(key, stable=True)
 
     packed = jnp.concatenate(
