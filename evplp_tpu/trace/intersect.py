@@ -321,6 +321,14 @@ def _unswizzle(x, ht, w):
     return x.reshape((ht * w,) + x.shape[4:])
 
 
+# Incoherent-ray sort key shape (A/B-tunable via env; see bench notes):
+# SORT_BITS origin-cell bits per axis, optionally Morton-interleaved.
+import os as _os  # noqa: E402
+
+SORT_BITS = int(_os.environ.get("EVPLP_SORT_BITS", "2"))
+SORT_MORTON = _os.environ.get("EVPLP_SORT_MORTON", "0") not in ("0", "")
+
+
 def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
     """Packet trace for INCOHERENT rays: sort by (direction octant, coarse
     origin cell) so each packet's BVH working set collapses.
@@ -336,14 +344,25 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
     lo = bvh.node_min[0]
     inv_ext = 1.0 / jnp.maximum(bvh.node_max[0] - lo, 1e-6)
 
-    bits = 2
+    bits = SORT_BITS
     cell = jnp.clip(((o - lo) * inv_ext * (1 << bits)).astype(jnp.int32),
                     0, (1 << bits) - 1)
     octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
               + (d[:, 1] < 0).astype(jnp.int32) * 2
               + (d[:, 2] < 0).astype(jnp.int32))
-    key = ((octant << (3 * bits)) | (cell[:, 0] << (2 * bits))
-           | (cell[:, 1] << bits) | cell[:, 2])
+    if SORT_MORTON:
+        # Morton-interleave the cell bits: nearby origins share packets
+        # at every granularity instead of only along x-major strips
+        code = jnp.zeros_like(cell[:, 0])
+        for b in range(bits):
+            code = (code
+                    | (((cell[:, 0] >> b) & 1) << (3 * b + 2))
+                    | (((cell[:, 1] >> b) & 1) << (3 * b + 1))
+                    | (((cell[:, 2] >> b) & 1) << (3 * b)))
+    else:
+        code = ((cell[:, 0] << (2 * bits)) | (cell[:, 1] << bits)
+                | cell[:, 2])
+    key = (octant << (3 * bits)) | code
     # dead lanes (empty interval: terminated paths, pre-culled segments)
     # sort to the END so they cluster into all-dead packets that exit the
     # traversal after ~1 iteration — lane compaction without the
