@@ -3,41 +3,43 @@
 The packet kernels (trace/packet3.py) steer every packet through one
 scalar pointer chase; incoherent bounce rays make the packet's working
 set approach the whole tree (~2914 iters per 8192-ray packet at 102k
-tris).  The per-lane path instead gives EVERY RAY its own traversal,
-using Mosaic's `tpu.dynamic_gather` (same-shape 2D take_along_axis):
-composing a lane-gather with a sublane-gather fetches an arbitrary
-entry of a 1024-element table per lane in 2 vector ops (NOTES.md
-round-3 study: ~2.5 ns/vreg-op chains, gathers ~+1.7 ns).
+tris).  The per-lane path gives EVERY RAY its own traversal using
+Mosaic's `tpu.dynamic_gather` (same-shape 2D `take_along_axis`): with a
+table replicated across sublanes, ONE lane-gather fetches an arbitrary
+128-entry table element per lane; two gathers + a select cover 256.
+(NOTES.md round-3 study: vreg chains ~2.5 ns/op, gathers ~+1.7 ns,
+mock unified traversal step ~131 ns per 1024 rays.)
 
-That primitive bounds any in-register table to 1024 entries, so the
-tree is CUT in two:
+That bounds any per-lane table to ~256 entries, so the tree is CUT:
 
-  * a TOP tree (<= 1023 nodes) whose leaves are subtree handles, walked
-    per-lane to give each ray its nearest-first subtree list, and
-  * SUBTREES of <= 1024 triangles / <= 1024 nodes each, walked per-lane
-    by subtree-pure ray packets after an XLA regroup.
+  * SUBTREES of <= 255 triangles / <= 255 nodes each, walked per-lane
+    by subtree-pure 1024-ray rows after an XLA regroup, and
+  * a TOP phase that is just the LIST of subtree root boxes: each ray
+    scans all S boxes (scalar-broadcast slab tests — no gathers) and
+    takes its nearest not-yet-processed subtree, giving front-to-back
+    subtree ordering with early termination across rounds.
 
-Both levels use the same threaded (DFS + skip link) form the flat BVH
-already carries (accel/bvh.py _flatten_dfs): on box hit an internal
-node falls through to i+1, otherwise (and after a leaf) control moves
-to skip[i]; id >= n means done.  No per-lane stack is needed.
+Subtrees use the threaded (DFS + skip link) form the flat BVH already
+carries (accel/bvh.py _flatten_dfs): on box hit an internal node falls
+through to i+1, otherwise (and after a leaf) control moves to skip[i];
+id DONE (=255) means finished.  No per-lane stack.
 
-Page encoding (per level): 8 fields per node, field f of node i at
-pages[f, i >> 7, i & 127]:
+Node encoding — 8 fields, field f of local node i at
+sub_nodes[k, 2*f + (i>>7), i & 127]:
 
   f0..f2  bbox min xyz
   f3..f5  bbox max xyz
-  f6      0 for internal; LEAF_TAG + payload for a leaf
-          (bottom: payload = first_local_tri * 64 + tri_count;
-           top:    payload = subtree index)
-  f7      skip link (local id; >= n_local means done)
+  f6      0 for internal; LEAF_TAG + first_local_tri*64 + count for a leaf
+  f7      skip link (local id; DONE = 255 means finished)
 
-All values are small non-negative ints stored exactly in f32.
-Triangle pages hold 10 fields: v0 xyz, e1 xyz, e2 xyz, global prim id.
+Padding entries: f6 = 0, f7 = DONE, bbox = [+BIG, -BIG] (never hits).
+All ids/payloads are small non-negative ints stored exactly in f32.
+Triangle pages hold 10 fields (v0 xyz, e1 xyz, e2 xyz, global prim id)
+in the same 2-page layout: sub_tris[k, 2*f + (j>>7), j & 127].
 
-Reference parity: this replaces OptiX Trbvh traversal scheduling
+Reference parity: replaces OptiX Trbvh traversal scheduling
 (rtcomphoton.h:705-707) for incoherent workloads; the intersection
-math itself stays Moller-Trumbore (triangleintersect.cu).
+math stays Moller-Trumbore (triangleintersect.cu).
 """
 from __future__ import annotations
 
@@ -47,50 +49,47 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 import numpy as np
 
-LEAF_TAG = 1 << 20            # exact in f32; > any skip link / payload
-PAGE = 1024                   # entries per composed-gather table
+LEAF_TAG = 1 << 20            # exact in f32; > any payload
+CAP = 255                     # max tris / nodes per subtree (2 pages)
+DONE = 255                    # skip-link sentinel: lane finished
 MAX_LEAF_TRIS = 63            # payload packs count in 6 bits
+BIG = 3.0e38
 
 
 @dataclass(frozen=True)
-class TwoLevel:
-    """Two-level page-packed BVH (static shapes; device arrays)."""
-    top_pages: jnp.ndarray     # (8, 8, 128) f32
-    node_pages: jnp.ndarray    # (S, 8, 8, 128) f32
-    tri_pages: jnp.ndarray     # (S, 10, 8, 128) f32
-    n_top: int                 # top nodes used
-    n_sub: int                 # number of subtrees S
+class PerLaneBVH:
+    """Per-lane two-level layout (static shapes; device arrays).
+
+    sub_boxes: (S, 8) f32 — root bbox per subtree (min3, max3, pad2).
+    sub_nodes: (S, 16, 128) f32 — 8 fields x 2 lane-pages.
+    sub_tris:  (S, 20, 128) f32 — 10 fields x 2 lane-pages.
+    """
+    sub_boxes: jnp.ndarray
+    sub_nodes: jnp.ndarray
+    sub_tris: jnp.ndarray
+    n_sub: int
 
     def tree_flatten(self):  # pragma: no cover
-        return (self.top_pages, self.node_pages, self.tri_pages), \
-            (self.n_top, self.n_sub)
+        return (self.sub_boxes, self.sub_nodes, self.sub_tris), \
+            (self.n_sub,)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
-        return cls(*leaves, n_top=aux[0], n_sub=aux[1])
+        return cls(*leaves, n_sub=aux[0])
 
 
-jtu.register_pytree_node(TwoLevel, TwoLevel.tree_flatten,
-                         TwoLevel.tree_unflatten)
-
-
-def _pages_of(fields: np.ndarray) -> np.ndarray:
-    """(F, n<=1024) field table -> (F, 8, 128) composed-gather pages."""
-    f, n = fields.shape
-    out = np.zeros((f, PAGE), np.float32)
-    out[:, :n] = fields
-    return out.reshape(f, 8, 128)
+jtu.register_pytree_node(PerLaneBVH, PerLaneBVH.tree_flatten,
+                         PerLaneBVH.tree_unflatten)
 
 
 def cut_subtrees(node_skip: np.ndarray, node_count: np.ndarray,
-                 cap_tris: int = PAGE, cap_nodes: int = PAGE):
+                 cap_tris: int = CAP, cap_nodes: int = CAP):
     """Partition the DFS tree into subtree roots with bounded size.
 
     Returns (roots, tri_base) — roots in DFS order; tri_base[i] = index
     of the first triangle of subtree i in the leaf-ordered tri arrays
     (subtree triangles are contiguous because leaves appear in DFS
     order and tris are leaf-ordered)."""
-    n = len(node_skip)
     leafc = np.where(node_count > 0, node_count, 0).astype(np.int64)
     pref = np.concatenate([[0], np.cumsum(leafc)])
 
@@ -112,20 +111,26 @@ def cut_subtrees(node_skip: np.ndarray, node_count: np.ndarray,
     return roots, pref[roots].astype(np.int64)
 
 
-def build_two_level(node_min, node_max, node_skip, node_first, node_count,
-                    v0, e1, e2, prim_ids=None,
-                    cap_tris: int = PAGE) -> TwoLevel:
-    """Pack a flat DFS BVH + leaf-ordered triangles into TwoLevel pages.
+def _two_pages(fields: np.ndarray, pad_value=0.0) -> np.ndarray:
+    """(F, n<=256) table -> (2F, 128): field f pages at rows 2f, 2f+1."""
+    f, n = fields.shape
+    out = np.full((f, 256), pad_value, np.float32)
+    out[:, :n] = fields
+    return out.reshape(f, 2, 128).reshape(2 * f, 128)
+
+
+def build_perlane(node_min, node_max, node_skip, node_first, node_count,
+                  v0, e1, e2, prim_ids=None,
+                  cap_tris: int = CAP) -> PerLaneBVH:
+    """Pack a flat DFS BVH + leaf-ordered triangles into PerLaneBVH.
 
     Inputs are host numpy arrays (device arrays are converted).  v0/e1/e2
-    are LEAF-ORDERED (the build permutation already applied, matching
-    Triangles).  prim_ids: global prim id per leaf-ordered slot (default
-    arange).  Requires every leaf count <= 63 and the top tree to fit
-    1023 nodes."""
+    are LEAF-ORDERED (build permutation applied, matching Triangles).
+    prim_ids: global prim id per leaf-ordered slot (default arange).
+    Requires every leaf count <= 63."""
     node_min = np.asarray(node_min)
     node_max = np.asarray(node_max)
     node_skip = np.asarray(node_skip)
-    node_first = np.asarray(node_first)
     node_count = np.asarray(node_count)
     v0 = np.asarray(v0)
     e1 = np.asarray(e1)
@@ -138,120 +143,98 @@ def build_two_level(node_min, node_max, node_skip, node_first, node_count,
     assert node_count.max(initial=0) <= MAX_LEAF_TRIS, \
         f"leaf count {node_count.max()} > {MAX_LEAF_TRIS}"
 
-    roots, tri_base = cut_subtrees(node_skip, node_count, cap_tris)
+    roots, tri_base = cut_subtrees(node_skip, node_count,
+                                   min(cap_tris, CAP), CAP)
     s = len(roots)
-    root_set = {int(r) for r in roots}
-    root_index = {int(r): k for k, r in enumerate(roots)}
-
-    # ---- bottom subtrees ----
-    node_pages = np.zeros((s, 8, 8, 128), np.float32)
-    tri_pages = np.zeros((s, 10, 8, 128), np.float32)
-    # leaf-tri prefix over ALL nodes for local tri indexing
     leafc = np.where(node_count > 0, node_count, 0).astype(np.int64)
     pref = np.concatenate([[0], np.cumsum(leafc)])
+
+    sub_boxes = np.zeros((s, 8), np.float32)
+    sub_nodes = np.zeros((s, 16, 128), np.float32)
+    sub_tris = np.zeros((s, 20, 128), np.float32)
     for k, r in enumerate(roots):
         end = node_skip[r]
         ids = np.arange(r, end)
         nl = len(ids)
-        assert nl <= PAGE, nl
-        fields = np.zeros((8, nl), np.float32)
-        fields[0:3] = node_min[ids].T
-        fields[3:6] = node_max[ids].T
+        assert nl <= CAP, nl
+        sub_boxes[k, 0:3] = node_min[r]
+        sub_boxes[k, 3:6] = node_max[r]
+
+        fields = np.zeros((8, 256), np.float32)
+        # padding boxes never hit; padding skip pins the lane at DONE
+        fields[0:3] = BIG
+        fields[3:6] = -BIG
+        fields[7] = DONE
+        fields[0:3, :nl] = node_min[ids].T
+        fields[3:6, :nl] = node_max[ids].T
         is_leaf = node_count[ids] > 0
         local_first = (pref[ids] - tri_base[k]).astype(np.int64)
         payload = LEAF_TAG + local_first * 64 + node_count[ids]
-        fields[6] = np.where(is_leaf, payload, 0).astype(np.float32)
-        fields[7] = (np.minimum(node_skip[ids], end) - r).astype(np.float32)
-        node_pages[k] = _pages_of(fields).reshape(8, 8, 128)
+        fields[6, :nl] = np.where(is_leaf, payload, 0).astype(np.float32)
+        skip_l = np.minimum(node_skip[ids], end) - r
+        fields[7, :nl] = np.where(skip_l >= nl, DONE, skip_l)
+        sub_nodes[k] = _two_pages(fields[:, :256])
 
         lo = tri_base[k]
         hi = lo + (pref[end] - pref[r])
         nt = int(hi - lo)
-        assert nt <= PAGE, nt
+        assert nt <= CAP, nt
         tf = np.zeros((10, nt), np.float32)
         tf[0:3] = v0[lo:hi].T
         tf[3:6] = e1[lo:hi].T
         tf[6:9] = e2[lo:hi].T
         tf[9] = prim_ids[lo:hi]
-        tri_pages[k] = _pages_of(tf).reshape(10, 8, 128)
+        sub_tris[k] = _two_pages(tf)
 
-    # ---- top tree: nodes not strictly inside any subtree ----
-    inside = np.zeros(len(node_skip), bool)
-    for r in roots:
-        inside[r + 1:node_skip[r]] = True
-    top_ids = np.where(~inside)[0]
-    nt_top = len(top_ids)
-    assert nt_top <= PAGE - 1, f"top tree {nt_top} nodes > {PAGE - 1}"
-    new_id = {int(old): i for i, old in enumerate(top_ids)}
-
-    def remap(old):
-        """skip target -> local top id (end-of-tree -> nt_top)."""
-        old = int(old)
-        while old < len(node_skip) and old not in new_id:
-            old += 1  # pragma: no cover - skip targets are top nodes
-        return new_id.get(old, nt_top)
-
-    fields = np.zeros((8, nt_top), np.float32)
-    fields[0:3] = node_min[top_ids].T
-    fields[3:6] = node_max[top_ids].T
-    for i, old in enumerate(top_ids):
-        if int(old) in root_set:
-            fields[6, i] = LEAF_TAG + root_index[int(old)]
-        fields[7, i] = remap(node_skip[old])
-    top_pages = _pages_of(fields).reshape(8, 8, 128)
-
-    return TwoLevel(
-        top_pages=jnp.asarray(top_pages),
-        node_pages=jnp.asarray(node_pages),
-        tri_pages=jnp.asarray(tri_pages),
-        n_top=nt_top, n_sub=s)
+    return PerLaneBVH(sub_boxes=jnp.asarray(sub_boxes),
+                      sub_nodes=jnp.asarray(sub_nodes),
+                      sub_tris=jnp.asarray(sub_tris), n_sub=s)
 
 
-def reference_walk(tl: TwoLevel, o, d, t_min, t_max):
-    """Host-side reference traversal of the TwoLevel pages (numpy, one
-    ray) — validates the page encoding independently of any kernel.
-    Returns (t, prim)."""
-    top = np.asarray(tl.top_pages).reshape(8, PAGE)
-    nodes = np.asarray(tl.node_pages).reshape(tl.n_sub, 8, PAGE)
-    tris = np.asarray(tl.tri_pages).reshape(tl.n_sub, 10, PAGE)
+def reference_walk(pl_bvh: PerLaneBVH, o, d, t_min, t_max):
+    """Host-side reference traversal (numpy, one ray): scan subtree
+    boxes nearest-first with early-out, walk each entered subtree via
+    the packed pages — validates the encoding independently of any
+    kernel.  Returns (t, prim)."""
+    boxes = np.asarray(pl_bvh.sub_boxes)
+    nodes = np.asarray(pl_bvh.sub_nodes).reshape(-1, 8, 256)
+    tris = np.asarray(pl_bvh.sub_tris).reshape(-1, 10, 256)
     o = np.asarray(o, np.float64)
     d = np.asarray(d, np.float64)
-    inv = 1.0 / np.where(np.abs(d) < 1e-20, np.where(d >= 0, 1e-20, -1e-20), d)
+    inv = 1.0 / np.where(np.abs(d) < 1e-20,
+                         np.where(d >= 0, 1e-20, -1e-20), d)
 
     best_t, best_p = float(t_max), -1
 
-    def box(fields, i, bound):
-        lo = np.array([fields[a, i] for a in range(3)])
-        hi = np.array([fields[a + 3, i] for a in range(3)])
+    def slab(lo, hi, bound):
         t0 = (lo - o) * inv
         t1 = (hi - o) * inv
         tn = np.minimum(t0, t1).max()
         tf = np.maximum(t0, t1).min()
-        return tn <= tf and tf >= 0.0 and tn <= bound
+        return (tn <= tf and tf >= 0.0 and tn <= bound), tn
 
     def walk_subtree(k):
         nonlocal best_t, best_p
         i = 0
-        while i < PAGE:
+        while i != DONE:
             f6 = int(nodes[k, 6, i])
             skip = int(nodes[k, 7, i])
-            if skip <= i:          # past the packed region
-                break
-            if box(nodes[k], i, best_t):
+            hit, _ = slab(nodes[k, 0:3, i], nodes[k, 3:6, i], best_t)
+            if hit:
                 if f6 >= LEAF_TAG:
                     payload = f6 - LEAF_TAG
                     first, cnt = payload // 64, payload % 64
                     for j in range(first, first + cnt):
-                        tv0 = np.array([tris[k, a, j] for a in range(3)])
-                        te1 = np.array([tris[k, a + 3, j] for a in range(3)])
-                        te2 = np.array([tris[k, a + 6, j] for a in range(3)])
+                        tv0 = tris[k, 0:3, j]
+                        te1 = tris[k, 3:6, j]
+                        te2 = tris[k, 6:9, j]
                         p = np.cross(d, te2)
                         det = te1 @ p
                         if abs(det) < 1e-12:
                             continue
-                        s = o - tv0
-                        u = (s @ p) / det
-                        q = np.cross(s, te1)
+                        sv = o - tv0
+                        u = (sv @ p) / det
+                        q = np.cross(sv, te1)
                         v = (d @ q) / det
                         tt = (te2 @ q) / det
                         if u >= 0 and v >= 0 and u + v <= 1 \
@@ -263,16 +246,16 @@ def reference_walk(tl: TwoLevel, o, d, t_min, t_max):
             else:
                 i = skip
 
-    i = 0
-    while i < tl.n_top:
-        f6 = int(top[6, i])
-        skip = int(top[7, i])
-        if box(top, i, best_t):
-            if f6 >= LEAF_TAG:
-                walk_subtree(int(f6 - LEAF_TAG))
-                i = skip
-            else:
-                i += 1
-        else:
-            i = skip
+    # nearest-first rounds over subtree root boxes with early-out
+    last = (-np.inf, -1)
+    while True:
+        nxt = (np.inf, -1)
+        for k in range(pl_bvh.n_sub):
+            hit, tn = slab(boxes[k, 0:3], boxes[k, 3:6], best_t)
+            if hit and (tn, k) > last and (tn, k) < nxt:
+                nxt = (tn, k)
+        if nxt[1] < 0 or nxt[0] > best_t:
+            break
+        walk_subtree(nxt[1])
+        last = nxt
     return best_t, best_p

@@ -1,8 +1,10 @@
-"""Two-level page layout checks (accel/subtrees.py).
+"""Per-lane two-level layout checks (accel/subtrees.py).
 
-The host-side reference walk over the packed pages must agree with the
-dense oracle — validates the cut, the local re-indexing, the leaf
-payload packing, and the threaded links independently of any kernel."""
+The host-side reference walk over the packed pages (nearest-first
+subtree rounds + threaded subtree walks) must agree with the dense
+oracle — validates the cut, local re-indexing, leaf payload packing,
+threaded links, and the round-ordering early-out, independently of any
+kernel."""
 import numpy as np
 import pytest
 
@@ -35,7 +37,7 @@ def _brute(v0, e1, e2, o, d, t_min, t_max):
     return best_t, best_p
 
 
-@pytest.mark.parametrize("n,cap", [(300, 64), (300, 1024), (1500, 256)])
+@pytest.mark.parametrize("n,cap", [(300, 64), (300, 255), (1500, 255)])
 def test_reference_walk_matches_brute(n, cap):
     v0, v1, v2 = _soup(n)
     bvh, perm = build_bvh(v0, v1, v2, leaf_size=4, pack=False)
@@ -47,10 +49,10 @@ def test_reference_walk_matches_brute(n, cap):
     lv0, lv1, lv2 = v0[perm], v1[perm], v2[perm]
     le1, le2 = lv1 - lv0, lv2 - lv0
 
-    tl = subtrees.build_two_level(nmin, nmax, skip, first, cnt,
-                                  lv0, le1, le2, prim_ids=perm,
-                                  cap_tris=cap)
-    assert tl.n_sub >= 1
+    plb = subtrees.build_perlane(nmin, nmax, skip, first, cnt,
+                                 lv0, le1, le2, prim_ids=perm,
+                                 cap_tris=cap)
+    assert plb.n_sub >= 2
 
     rng = np.random.default_rng(7)
     miss = hit = 0
@@ -60,7 +62,7 @@ def test_reference_walk_matches_brute(n, cap):
         d = aim - o if rng.random() < 0.8 else rng.normal(size=3)
         d /= np.linalg.norm(d)
         bt, bp = _brute(v0, v1 - v0, v2 - v0, o, d, 1e-5, 1e30)
-        wt, wp = subtrees.reference_walk(tl, o, d, 1e-5, 1e30)
+        wt, wp = subtrees.reference_walk(plb, o, d, 1e-5, 1e30)
         if bp < 0:
             assert wp < 0
             miss += 1
@@ -76,14 +78,14 @@ def test_cut_respects_caps():
     bvh, perm = build_bvh(v0, v1, v2, leaf_size=8, pack=False)
     skip = np.asarray(bvh.node_skip)
     cnt = np.asarray(bvh.node_count)
-    roots, base = subtrees.cut_subtrees(skip, cnt, cap_tris=512)
+    roots, base = subtrees.cut_subtrees(skip, cnt)
     leafc = np.where(cnt > 0, cnt, 0).astype(np.int64)
     pref = np.concatenate([[0], np.cumsum(leafc)])
     for r in roots:
-        assert pref[skip[r]] - pref[r] <= 512 or cnt[r] > 0
-        assert skip[r] - r <= subtrees.PAGE
-    # subtrees are disjoint and cover every LEAF (ancestor/top nodes
-    # above the roots are intentionally outside every subtree)
+        assert pref[skip[r]] - pref[r] <= subtrees.CAP or cnt[r] > 0
+        assert skip[r] - r <= subtrees.CAP
+    # subtrees are disjoint and cover every LEAF (ancestor nodes above
+    # the roots are intentionally outside every subtree)
     covered = np.zeros(len(skip), bool)
     for r in roots:
         assert not covered[r:skip[r]].any()
