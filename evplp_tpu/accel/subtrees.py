@@ -82,24 +82,57 @@ jtu.register_pytree_node(PerLaneBVH, PerLaneBVH.tree_flatten,
                          PerLaneBVH.tree_unflatten)
 
 
+def _tri_extents(node_skip, node_first, node_count):
+    """Per-node triangle storage extent [lo, hi) over the subtree rooted
+    there.  Works for both leaf-ordered and slot-ordered scenes: leaves
+    appear in DFS order and their storage ranges are ascending, so a
+    subtree's triangles are one contiguous extent (slot padding between
+    leaf rows is carried along but never referenced by any payload)."""
+    n = len(node_skip)
+    lo = np.full(n + 1, np.iinfo(np.int64).max, np.int64)
+    hi = np.zeros(n + 1, np.int64)
+    is_leaf = node_count > 0
+    lo[:-1][is_leaf] = node_first[is_leaf]
+    hi[:-1][is_leaf] = node_first[is_leaf] + node_count[is_leaf]
+    # suffix-scan in reverse DFS order: extent(i) spans nodes i..skip[i]
+    lo_s = np.minimum.accumulate(lo[::-1])[::-1]
+    hi_s = np.maximum.accumulate(hi[::-1])[::-1]
+
+    def ext(i):
+        e = node_skip[i]
+        l = lo_s[i] if lo_s[i] != np.iinfo(np.int64).max else 0
+        h = hi_s[i]
+        # clip to the subtree: suffix scan overshoots past skip[i]
+        l2 = lo[i:e][lo[i:e] != np.iinfo(np.int64).max]
+        h2 = hi[i:e][hi[i:e] != 0]
+        if len(l2) == 0:
+            return 0, 0
+        return int(l2.min()), int(h2.max())
+
+    return ext
+
+
 def cut_subtrees(node_skip: np.ndarray, node_count: np.ndarray,
-                 cap_tris: int = CAP, cap_nodes: int = CAP):
+                 cap_tris: int = CAP, cap_nodes: int = CAP,
+                 node_first: np.ndarray | None = None):
     """Partition the DFS tree into subtree roots with bounded size.
 
-    Returns (roots, tri_base) — roots in DFS order; tri_base[i] = index
-    of the first triangle of subtree i in the leaf-ordered tri arrays
-    (subtree triangles are contiguous because leaves appear in DFS
-    order and tris are leaf-ordered)."""
-    leafc = np.where(node_count > 0, node_count, 0).astype(np.int64)
-    pref = np.concatenate([[0], np.cumsum(leafc)])
+    Returns (roots, tri_lo, tri_hi) — roots in DFS order with each
+    subtree's triangle storage extent (contiguous: leaves appear in
+    DFS order in both leaf- and slot-ordered scenes)."""
+    if node_first is None:
+        leafc = np.where(node_count > 0, node_count, 0).astype(np.int64)
+        node_first = np.concatenate([[0], np.cumsum(leafc)])[:-1]
+        node_first = np.where(node_count > 0, node_first, 0)
+    ext = _tri_extents(node_skip, node_first, node_count)
 
     roots = []
     stack = [0]
     while stack:
         i = stack.pop()
-        tris_in = pref[node_skip[i]] - pref[i]
+        lo, hi = ext(i)
         nodes_in = node_skip[i] - i
-        if (tris_in <= cap_tris and nodes_in <= cap_nodes) \
+        if (hi - lo <= cap_tris and nodes_in <= cap_nodes) \
                 or node_count[i] > 0:
             roots.append(i)
         else:
@@ -108,7 +141,9 @@ def cut_subtrees(node_skip: np.ndarray, node_count: np.ndarray,
             stack.append(right)
             stack.append(left)
     roots = np.asarray(sorted(roots), np.int32)
-    return roots, pref[roots].astype(np.int64)
+    los = np.asarray([ext(r)[0] for r in roots], np.int64)
+    his = np.asarray([ext(r)[1] for r in roots], np.int64)
+    return roots, los, his
 
 
 def _two_pages(fields: np.ndarray, pad_value=0.0) -> np.ndarray:
@@ -142,12 +177,12 @@ def build_perlane(node_min, node_max, node_skip, node_first, node_count,
 
     assert node_count.max(initial=0) <= MAX_LEAF_TRIS, \
         f"leaf count {node_count.max()} > {MAX_LEAF_TRIS}"
+    node_first = np.asarray(node_first)
 
-    roots, tri_base = cut_subtrees(node_skip, node_count,
-                                   min(cap_tris, CAP), CAP)
+    roots, tri_lo, tri_hi = cut_subtrees(node_skip, node_count,
+                                         min(cap_tris, CAP), CAP,
+                                         node_first=node_first)
     s = len(roots)
-    leafc = np.where(node_count > 0, node_count, 0).astype(np.int64)
-    pref = np.concatenate([[0], np.cumsum(leafc)])
 
     sub_boxes = np.zeros((s, 8), np.float32)
     sub_nodes = np.zeros((s, 16, 128), np.float32)
@@ -168,15 +203,15 @@ def build_perlane(node_min, node_max, node_skip, node_first, node_count,
         fields[0:3, :nl] = node_min[ids].T
         fields[3:6, :nl] = node_max[ids].T
         is_leaf = node_count[ids] > 0
-        local_first = (pref[ids] - tri_base[k]).astype(np.int64)
+        local_first = np.where(is_leaf, node_first[ids] - tri_lo[k], 0)
         payload = LEAF_TAG + local_first * 64 + node_count[ids]
         fields[6, :nl] = np.where(is_leaf, payload, 0).astype(np.float32)
         skip_l = np.minimum(node_skip[ids], end) - r
         fields[7, :nl] = np.where(skip_l >= nl, DONE, skip_l)
         sub_nodes[k] = _two_pages(fields[:, :256])
 
-        lo = tri_base[k]
-        hi = lo + (pref[end] - pref[r])
+        lo = tri_lo[k]
+        hi = tri_hi[k]
         nt = int(hi - lo)
         assert nt <= CAP, nt
         tf = np.zeros((10, nt), np.float32)

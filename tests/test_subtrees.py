@@ -78,11 +78,9 @@ def test_cut_respects_caps():
     bvh, perm = build_bvh(v0, v1, v2, leaf_size=8, pack=False)
     skip = np.asarray(bvh.node_skip)
     cnt = np.asarray(bvh.node_count)
-    roots, base = subtrees.cut_subtrees(skip, cnt)
-    leafc = np.where(cnt > 0, cnt, 0).astype(np.int64)
-    pref = np.concatenate([[0], np.cumsum(leafc)])
-    for r in roots:
-        assert pref[skip[r]] - pref[r] <= subtrees.CAP or cnt[r] > 0
+    roots, lo, hi = subtrees.cut_subtrees(skip, cnt)
+    for k, r in enumerate(roots):
+        assert hi[k] - lo[k] <= subtrees.CAP or cnt[r] > 0
         assert skip[r] - r <= subtrees.CAP
     # subtrees are disjoint and cover every LEAF (ancestor nodes above
     # the roots are intentionally outside every subtree)
@@ -91,4 +89,4 @@ def test_cut_respects_caps():
         assert not covered[r:skip[r]].any()
         covered[r:skip[r]] = True
     assert covered[cnt > 0].all()
-    assert (np.diff(base) >= 0).all()
+    assert (np.diff(lo) >= 0).all()
