@@ -396,6 +396,9 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
 # burst drains — measured at parity, kept as the documented alternate;
 # round-2/3 variants packet2/4/5/6 all measured flat and were pruned)
 PACKET_IMPL = "packet3"
+# packet shape knobs (A/B; defaults = packet3 module defaults)
+PACKET_ROWS = int(_os.environ.get("EVPLP_PACKET_ROWS", "0"))
+PACKET_NPACK = int(_os.environ.get("EVPLP_PACKET_NPACK", "0"))
 
 
 def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
@@ -411,9 +414,14 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
                        bvh.pk_bounds, pm, rpl=bvh.rpl)
     else:
         from evplp_tpu.trace.packet3 import packet3_trace
+        kw = {}
+        if PACKET_ROWS:
+            kw["rows"] = PACKET_ROWS
+        if PACKET_NPACK:
+            kw["npack"] = PACKET_NPACK
         kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
                        bvh.pk_bounds, pm, rpl=bvh.rpl,
-                       fused=bvh.fused_nodes)
+                       fused=bvh.fused_nodes, **kw)
     r = o.shape[0]
     sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
           and tile_shape[1] % SWIZZLE_TW == 0)
