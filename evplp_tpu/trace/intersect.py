@@ -380,7 +380,7 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
         [o, d, t_min[:, None], t_max[:, None]], axis=1)[perm]
     t, prim, u, v = _packet_trace(
         bvh, packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
-        any_hit, None)
+        any_hit, None, sorted_shape=True)
 
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(r, dtype=perm.dtype))
@@ -401,7 +401,17 @@ PACKET_ROWS = int(_os.environ.get("EVPLP_PACKET_ROWS", "0"))
 PACKET_NPACK = int(_os.environ.get("EVPLP_PACKET_NPACK", "0"))
 
 
-def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
+# Sorted (incoherent) batches run 4096-ray packets: same-session sandwich
+# A/B at the bounce-2 distribution, 102k tris: rows=32/npack=2 283 ms vs
+# 355/357 ms control (rows=64) per 1M-ray closest — smaller packets
+# shrink the per-packet BVH working-set union.  Coherent workloads
+# measured flat across rows (round-2 sweep), so tiles keep rows=64.
+SORTED_ROWS = 32
+SORTED_NPACK = 2
+
+
+def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape,
+                  sorted_shape: bool = False):
     pm = None if bvh.slot_order else bvh.pk_prim_map
     if bvh.fused_nodes and PACKET_IMPL != "packet3":
         # only packet3 understands the fused node layout
@@ -415,6 +425,8 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape):
     else:
         from evplp_tpu.trace.packet3 import packet3_trace
         kw = {}
+        if sorted_shape:
+            kw["rows"], kw["npack"] = SORTED_ROWS, SORTED_NPACK
         if PACKET_ROWS:
             kw["rows"] = PACKET_ROWS
         if PACKET_NPACK:
