@@ -2,9 +2,9 @@
 reflectcuts/realtimetechniques/pathtracing.cu, driver rtpt/rtpt2.h).
 
 One frame = one jitted call: primary hits come from the G-buffer pass, then
-`num_bounces` unrolled wavefront steps over all pixels with masked lanes
-(the TPU equivalent of the per-pixel OptiX megakernel).  Estimator semantics
-mirror the reference exactly:
+`num_bounces` wavefront steps over all pixels with masked lanes (the TPU
+equivalent of the per-pixel OptiX megakernel).  Estimator semantics mirror
+the reference exactly:
 
   * explicit NEE at the first vertex (pathtracing.cu:240-331) and at every
     closest hit (112-228) with balance-heuristic MIS between light-area and
@@ -15,8 +15,17 @@ mirror the reference exactly:
     convention (russian_prob_path),
   * directly visible emission is NOT added here — the composite pass
     overlays the light image (shaders/final.frag).
+
+Trace scheduling: the loop is organized per VERTEX, not per trace — at each
+vertex the NEE shadow segment and the sampled extension ray share an origin,
+so both ride ONE fused packet-kernel dispatch through one shared sort
+permutation (trace.intersect.closest_and_segment; the reference's two
+rtTrace calls per vertex).  RNG consumption is identical to the per-trace
+formulation: all of vertex v's decisions draw from fold_in(key, v).
 """
 from __future__ import annotations
+
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +37,12 @@ from evplp_tpu.core.sampling import uniform_not_one
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.scene.scene import SceneData
 from evplp_tpu.scene.textures import fetch_hit_shading
-from evplp_tpu.trace.intersect import intersect_closest, occluded_segment
+from evplp_tpu.trace.intersect import (Hit, closest_and_segment,
+                                       intersect_closest, occluded_segment)
+
+# A/B toggle: 1 = fused NEE+extension pair trace per vertex (default);
+# 0 = the round-2 formulation (separate sorted dispatches per trace).
+PT_PAIR = _os.environ.get("EVPLP_PT_PAIR", "1") not in ("0", "")
 
 
 def _emit_profile(light_n, to_prev, exponent):
@@ -37,25 +51,16 @@ def _emit_profile(light_n, to_prev, exponent):
     return brdf.phong_eval_f(light_n, to_prev, light_n, exponent)
 
 
-def _nee(scene: SceneData, key, position, normal, inc, kd, ks, ns,
-         attenuation, chose_l, p_l, shadow_eps, live=None, tile_shape=None,
-         sort_rays=False):
-    """Next-event estimation at a batch of vertices.
+def _nee_contrib(scene: SceneData, position, normal, inc, kd, ks, ns,
+                 attenuation, chose_l, p_l, l_pos, l_n, l_pdf, l_val,
+                 occluded):
+    """NEE contribution given the sampled light point and its occlusion.
 
     The lobe-selection decision (chose_l) also selects which BRDF the NEE
-    contribution uses and its 1/p factor, matching the reference's
-    branch structure (pathtracing.cu:178-217).  live masks lanes whose
-    contribution the caller discards — their shadow segments are not traced.
-    """
-    n = position.shape[0]
-    u3 = jax.random.uniform(key, (n, 3))
-    l_pos, l_n, l_pdf, l_val = light_sample(scene.light, u3)
-
+    contribution uses and its 1/p factor, matching the reference's branch
+    structure (pathtracing.cu:178-217)."""
     to_light = l_pos - position
     to_light_n = mu.normalize(to_light)
-    occluded = occluded_segment(scene.tris, scene.bvh, l_pos, position,
-                                eps=shadow_eps, live=live,
-                                tile_shape=tile_shape, sort_rays=sort_rays)
 
     g = mu.geometry_term(normal, l_n, to_light)
     emit = _emit_profile(l_n, -to_light_n, scene.light.intensity[3])
@@ -75,6 +80,57 @@ def _nee(scene: SceneData, key, position, normal, inc, kd, ks, ns,
     return jnp.where(occluded[:, None], 0.0, contrib)
 
 
+def _vertex_traces(scene, position, direction, ext_active, l_pos, surface,
+                   shadow_eps, tile_shape):
+    """Trace a vertex's extension ray (closest) + NEE segment (any-hit).
+
+    PT_PAIR: one fused dispatch through one sort permutation; otherwise the
+    separate-dispatch formulation (identical results — the pair kernel
+    computes the same intersections)."""
+    t_max = jnp.where(ext_active, jnp.float32(3.0e38), jnp.float32(0.0))
+    if PT_PAIR:
+        return closest_and_segment(
+            scene.tris, scene.bvh, position, direction,
+            t_min=1e-5, t_max=t_max, seg_to=l_pos, seg_eps=shadow_eps,
+            seg_live=surface)
+    hit = intersect_closest(scene.tris, scene.bvh, position, direction,
+                            t_min=1e-5, t_max=t_max, sort_rays=True)
+    occluded = occluded_segment(scene.tris, scene.bvh, l_pos, position,
+                                eps=shadow_eps, live=surface,
+                                tile_shape=tile_shape,
+                                sort_rays=tile_shape is None)
+    return hit, occluded
+
+
+def _process_hit(scene, prev_position, direction, brdf_pdf_w, attenuation,
+                 active, hit, result):
+    """Shade the closest hit of an extension ray batch: MIS-weighted emitter
+    emission into `result`, plus the next vertex's surface state
+    (pathtracing.cu:112-176)."""
+    prim = jnp.maximum(hit.prim, 0)
+    hit_ok = active & hit.valid
+    next_position = prev_position + hit.t[:, None] * direction
+    kd, ks, ns, geom_n, is_light_row = fetch_hit_shading(
+        scene, prim, hit.u, hit.v)
+
+    backface = mu.dot(geom_n, direction) > 0.0
+    hit_ok = hit_ok & ~backface
+
+    # emitter hit: MIS-weighted emission, then terminate
+    is_light = is_light_row & hit_ok
+    to_prev = mu.normalize(prev_position - next_position)
+    v = next_position - prev_position
+    pdf_w2a = jnp.maximum(-mu.dot(geom_n, mu.normalize(v)), 0.0) / \
+        jnp.maximum(mu.dot(v, v), 1e-20)
+    w_emit = mu.balance_heuristic(brdf_pdf_w * pdf_w2a, light_pdf_a(scene.light))
+    emission = (w_emit * _emit_profile(geom_n, to_prev, scene.light.intensity[3]))[:, None] \
+        * attenuation * scene.light.intensity[None, :3]
+    result = result + jnp.where(is_light[:, None], emission, 0.0)
+
+    surface = hit_ok & ~is_light & ~brdf.is_black(kd, ks)
+    return result, next_position, geom_n, to_prev, kd, ks, ns, surface
+
+
 def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
                     num_bounces: int, tile_shape=None) -> jnp.ndarray:
     """One 1-spp path-traced frame over all pixels; returns (N, 3) radiance
@@ -90,81 +146,52 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
     black = brdf.is_black(gbuf.kd, gbuf.ks)
     active = (gbuf.stencil > 0.0) & ~black
 
-    # ---- first vertex: NEE + direction sample (pathtracing.cu:261-331) ----
+    # ---- vertex 0 (peeled: no RR, pathtracing.cu:261-331) ----
     k_sel, k_nee, k_lobe = jax.random.split(jax.random.fold_in(key, 0), 3)
     p_l = brdf.p_select_lambert(gbuf.kd, gbuf.ks)
     u_sel = uniform_not_one(jax.random.uniform(k_sel, (n,)))
     chose_l = u_sel < p_l
 
-    result += jnp.where(
-        active[:, None],
-        _nee(scene, k_nee, position, normal, inc, gbuf.kd, gbuf.ks, gbuf.ns,
-             jnp.ones((n, 3)), chose_l, p_l, shadow_eps=1e-4,
-             live=active, tile_shape=tile_shape),
-        0.0,
-    )
+    u3 = jax.random.uniform(k_nee, (n, 3))
+    l_pos, l_n, l_pdf, l_val = light_sample(scene.light, u3)
 
     u_lobe = jax.random.uniform(k_lobe, (n, 2))
     direction, brdf_pdf_w, attenuation, _ = brdf.sample_combined(
         u_sel, u_lobe, inc, normal, normal, gbuf.kd, gbuf.ks, gbuf.ns)
 
-    prev_position = position
+    hit, occluded = _vertex_traces(scene, position, direction, active,
+                                   l_pos, active, shadow_eps=1e-4,
+                                   tile_shape=tile_shape)
+    result += jnp.where(
+        active[:, None],
+        _nee_contrib(scene, position, normal, inc, gbuf.kd, gbuf.ks, gbuf.ns,
+                     jnp.ones((n, 3)), chose_l, p_l, l_pos, l_n, l_pdf,
+                     l_val, occluded),
+        0.0,
+    )
 
-    # ---- bounce loop (pathtracing.cu:333-344 + closest hit 112-228) ----
-    # lax.scan over the bounce index: the body compiles once regardless of
+    # ---- vertices 1..num_bounces-1: process hit, then paired NEE+extension
+    # (the reference's closest-hit program, pathtracing.cu:112-228).
+    # lax.scan over the vertex index: the body compiles once regardless of
     # num_bounces (an unrolled loop compiled ~3x slower for no gain)
-    def bounce_body(carry, bounce):
-        result, prev_position, direction, brdf_pdf_w, attenuation, active = carry
-        kb = jax.random.fold_in(key, 1 + bounce)
+    def vertex_body(carry, vert):
+        (result, prev_position, direction, brdf_pdf_w, attenuation,
+         active, hit_t, hit_prim, hit_u, hit_v) = carry
+        hit = Hit(t=hit_t, prim=hit_prim, u=hit_u, v=hit_v)
+
+        result, position, geom_n, inc, kd, ks, ns, surface = _process_hit(
+            scene, prev_position, direction, brdf_pdf_w, attenuation,
+            active, hit, result)
+
+        kb = jax.random.fold_in(key, vert)
         k_sel, k_nee, k_lobe, k_rr = jax.random.split(kb, 4)
-        last = bounce == num_bounces - 1
 
-        # dead lanes get an empty interval: the tracer skips them entirely;
-        # bounce directions are BRDF samples (incoherent) -> sorted packets
-        hit = intersect_closest(scene.tris, scene.bvh, prev_position,
-                                direction, t_min=1e-5,
-                                t_max=jnp.where(active, 3.0e38, 0.0),
-                                sort_rays=True)
-        prim = jnp.maximum(hit.prim, 0)
-        hit_ok = active & hit.valid
-        next_position = prev_position + hit.t[:, None] * direction
-        kd, ks, ns, geom_n, is_light_row = fetch_hit_shading(
-            scene, prim, hit.u, hit.v)
-
-        backface = mu.dot(geom_n, direction) > 0.0
-        hit_ok = hit_ok & ~backface
-
-        # emitter hit: MIS-weighted emission, then terminate
-        is_light = is_light_row & hit_ok
-        to_prev = mu.normalize(prev_position - next_position)
-        v = next_position - prev_position
-        pdf_w2a = jnp.maximum(-mu.dot(geom_n, mu.normalize(v)), 0.0) / \
-            jnp.maximum(mu.dot(v, v), 1e-20)
-        w_emit = mu.balance_heuristic(brdf_pdf_w * pdf_w2a, light_pdf_a(scene.light))
-        emission = (w_emit * _emit_profile(geom_n, to_prev, scene.light.intensity[3]))[:, None] \
-            * attenuation * scene.light.intensity[None, :3]
-        result = result + jnp.where(is_light[:, None], emission, 0.0)
-
-        surface = hit_ok & ~is_light
-        black = brdf.is_black(kd, ks)
-        # the last bounce collects emission only (no NEE, no continuation:
-        # prd.done is set before the last rtTrace in the reference)
-        surface = surface & ~black & ~last
-
-        inc = to_prev
         p_l = brdf.p_select_lambert(kd, ks)
         u_sel = uniform_not_one(jax.random.uniform(k_sel, (n,)))
         chose_l = u_sel < p_l
 
-        result = result + jnp.where(
-            surface[:, None],
-            # bounce-vertex NEE segments are incoherent (scattered surface
-            # points) -> sorted packets instead of screen tiles
-            _nee(scene, k_nee, next_position, geom_n, inc, kd, ks, ns,
-                 attenuation, chose_l, p_l, shadow_eps=1e-5,
-                 live=surface, tile_shape=None, sort_rays=True),
-            0.0,
-        )
+        u3 = jax.random.uniform(k_nee, (n, 3))
+        l_pos, l_n, l_pdf, l_val = light_sample(scene.light, u3)
 
         u_lobe = jax.random.uniform(k_lobe, (n, 2))
         new_dir, new_pdf, lobe_w, _ = brdf.sample_combined(
@@ -173,20 +200,45 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
 
         russian = brdf.russian_prob_path(attenuation_new)
         survive = jax.random.uniform(k_rr, (n,)) < russian
+        ext_active = surface & survive
 
-        active = surface & survive
-        direction = jnp.where(active[:, None], new_dir, direction)
-        brdf_pdf_w = jnp.where(active, new_pdf, brdf_pdf_w)
-        attenuation = jnp.where(
-            active[:, None],
+        new_hit, occluded = _vertex_traces(
+            scene, position, new_dir, ext_active, l_pos, surface,
+            shadow_eps=1e-5, tile_shape=None)
+
+        result = result + jnp.where(
+            surface[:, None],
+            _nee_contrib(scene, position, geom_n, inc, kd, ks, ns,
+                         attenuation, chose_l, p_l, l_pos, l_n, l_pdf,
+                         l_val, occluded),
+            0.0,
+        )
+
+        ext_attenuation = jnp.where(
+            ext_active[:, None],
             attenuation_new / jnp.maximum(russian, 1e-8)[:, None],
             attenuation,
         )
-        prev_position = jnp.where(active[:, None], next_position, prev_position)
-        return (result, prev_position, direction, brdf_pdf_w, attenuation,
-                active), None
+        direction = jnp.where(ext_active[:, None], new_dir, direction)
+        brdf_pdf_w = jnp.where(ext_active, new_pdf, brdf_pdf_w)
+        prev_position = jnp.where(ext_active[:, None], position,
+                                  prev_position)
+        return (result, prev_position, direction, brdf_pdf_w,
+                ext_attenuation, ext_active, new_hit.t, new_hit.prim,
+                new_hit.u, new_hit.v), None
 
-    carry = (result, prev_position, direction, brdf_pdf_w, attenuation, active)
-    (result, *_), _ = jax.lax.scan(
-        bounce_body, carry, jnp.arange(num_bounces, dtype=jnp.int32))
+    carry = (result, position, direction, brdf_pdf_w, attenuation, active,
+             hit.t, hit.prim, hit.u, hit.v)
+    if num_bounces > 1:
+        carry, _ = jax.lax.scan(
+            vertex_body, carry,
+            jnp.arange(1, num_bounces, dtype=jnp.int32))
+
+    # ---- final vertex: emission only (no NEE, no continuation — prd.done
+    # is set before the last rtTrace in the reference) ----
+    (result, prev_position, direction, brdf_pdf_w, attenuation, active,
+     hit_t, hit_prim, hit_u, hit_v) = carry
+    result, *_ = _process_hit(
+        scene, prev_position, direction, brdf_pdf_w, attenuation, active,
+        Hit(t=hit_t, prim=hit_prim, u=hit_u, v=hit_v), result)
     return result

@@ -391,6 +391,84 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
     return out[:, 0], prim[inv], out[:, 1], out[:, 2]
 
 
+def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
+                       db, t_min_b, t_max_b):
+    """Shared-sort fused closest(A)+any-hit(B) trace (see packet_pair.py).
+
+    One permutation serves both rays: the sort key comes from ray A's
+    octant + the shared origin cell (B segments from one origin cell all
+    point at the light sample — origin-coherent), and ONE packed (R, 13)
+    row gather moves both ray sets into sorted order.  Saves a key +
+    argsort + gather/scatter pipeline (~35 ms/1M rays) AND a kernel
+    dispatch sequence vs two separate sorted traces."""
+    r = o.shape[0]
+    lo = bvh.node_min[0]
+    inv_ext = 1.0 / jnp.maximum(bvh.node_max[0] - lo, 1e-6)
+
+    bits = SORT_BITS
+    cell = jnp.clip(((o - lo) * inv_ext * (1 << bits)).astype(jnp.int32),
+                    0, (1 << bits) - 1)
+    octant = ((da[:, 0] < 0).astype(jnp.int32) * 4
+              + (da[:, 1] < 0).astype(jnp.int32) * 2
+              + (da[:, 2] < 0).astype(jnp.int32))
+    code = ((cell[:, 0] << (2 * bits)) | (cell[:, 1] << bits)
+            | cell[:, 2])
+    key = (octant << (3 * bits)) | code
+    # only lanes dead for BOTH rays go to the all-dead tail packets
+    dead = (t_max_a <= t_min_a) & (t_max_b <= t_min_b)
+    key = jnp.where(dead, jnp.int32(1) << 20, key)
+    perm = jnp.argsort(key, stable=True)
+
+    packed = jnp.concatenate(
+        [o, da, t_min_a[:, None], t_max_a[:, None],
+         db, t_min_b[:, None], t_max_b[:, None]], axis=1)[perm]
+    from evplp_tpu.trace.packet_pair import packet_pair_trace
+    pm = None if bvh.slot_order else bvh.pk_prim_map
+    t, prim, u, v, occ = packet_pair_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
+        packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
+        packed[:, 8:11], packed[:, 11], packed[:, 12],
+        rows=SORTED_ROWS, npack=SORTED_NPACK, rpl=bvh.rpl,
+        fused=bvh.fused_nodes)
+
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(r, dtype=perm.dtype))
+    out = jnp.stack([t, u, v], axis=1)[inv]
+    ints = jnp.stack([prim, occ.astype(jnp.int32)], axis=1)[inv]
+    return out[:, 0], ints[:, 0], out[:, 1], out[:, 2], ints[:, 1] > 0
+
+
+@partial(jax.jit, static_argnames=("leaf_size",))
+def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
+                        seg_to, seg_eps: float = 1e-5, seg_live=None,
+                        leaf_size: int = 8):
+    """Paired trace for PT's per-vertex workload: closest hit along d AND
+    occlusion of the segment o -> seg_to (reference: the two rtTrace calls
+    per vertex, pathtracing.cu:112-228 + 290-294), sharing one origin.
+
+    On the packet path both rays ride ONE fused kernel walk over ~the
+    union of their BVH working sets; elsewhere this is exactly
+    intersect_closest + occluded_segment (same results, same semantics:
+    seg_live=False segments are not traced and report True)."""
+    r = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)):
+        db = seg_to - o
+        tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
+        if seg_live is not None:
+            tmax_b = jnp.where(seg_live, tmax_b, 0.0)
+        t, prim, u, v, occ = _sorted_pair_trace(
+            bvh, o, d, t_min, t_max,
+            db, jnp.full((r,), seg_eps, jnp.float32), tmax_b)
+        return Hit(t=t, prim=prim, u=u, v=v), occ
+    hit = intersect_closest(tris, bvh, o, d, t_min=t_min, t_max=t_max,
+                            leaf_size=leaf_size)
+    occ = occluded_segment(tris, bvh, o, seg_to, eps=seg_eps,
+                           leaf_size=leaf_size, live=seg_live)
+    return hit, occ
+
+
 # packet kernel implementation switch (A/B): "packet3" = one grid step per
 # ray block (default); "packet7" = two-level loop (tiny traversal body +
 # burst drains — measured at parity, kept as the documented alternate;

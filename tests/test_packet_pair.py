@@ -1,0 +1,135 @@
+"""Paired-trace kernel (closest A + any-hit segment B per lane, shared
+origin — PT's per-vertex workload) vs oracles, interpret mode on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evplp_tpu.accel.bvh import build_bvh
+from evplp_tpu.trace import packet_pair
+from evplp_tpu.trace.intersect import Triangles, intersect_closest_brute
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    packet_pair.set_interpret(True)
+    yield
+    packet_pair.set_interpret(False)
+
+
+def _scene(n=200, seed=0, **bvh_kw):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.25, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.25, (n, 3)).astype(np.float32)
+    v0, v1, v2 = base, base + e1, base + e2
+    bvh, perm = build_bvh(v0, v1, v2, pack=True, **bvh_kw)
+    v0, v1, v2 = v0[perm], v1[perm], v2[perm]
+    e1, e2 = v1 - v0, v2 - v0
+    nrm = np.cross(e1, e2)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    tris = Triangles(v0=jnp.asarray(v0), e1=jnp.asarray(e1),
+                     e2=jnp.asarray(e2), n=jnp.asarray(nrm.astype(np.float32)))
+    return tris, bvh
+
+
+def _pair_rays(r=300, seed=1):
+    """Shared origins; ray A directions + segment B endpoints (PT shape:
+    A = BRDF extension sample, B = toward one light point)."""
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-2, 2, (r, 3)).astype(np.float32))
+    da = jnp.asarray(rng.normal(0, 1, (r, 3)).astype(np.float32))
+    seg_to = jnp.asarray(
+        (rng.uniform(-0.6, 0.6, (r, 3)) + np.array([0, 1.5, 0]))
+        .astype(np.float32))
+    return o, da, seg_to
+
+
+def _check(tris, bvh, o, da, seg_to, tmax_a, tmin_b, tmax_b, rpl=1,
+           fused=False, rows=4, npack=2):
+    db = seg_to - o
+    t, prim, u, v, occ = packet_pair.packet_pair_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, da, jnp.full((o.shape[0],), 1e-4), tmax_a, db, tmin_b, tmax_b,
+        rows=rows, npack=npack, rpl=rpl, fused=fused)
+
+    live_a = np.asarray(tmax_a) > 1e-4
+    ref_a = intersect_closest_brute(tris, o, da, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0)[live_a],
+                                  np.asarray(ref_a.prim >= 0)[live_a])
+    m = np.asarray(prim >= 0) & live_a
+    np.testing.assert_array_equal(np.asarray(prim)[m],
+                                  np.asarray(ref_a.prim)[m])
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref_a.t)[m],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref_a.u)[m],
+                               atol=1e-4)
+
+    live_b = np.asarray(tmax_b) > np.asarray(tmin_b)
+    ref_b = intersect_closest_brute(tris, o, db, t_min=tmin_b, t_max=tmax_b)
+    np.testing.assert_array_equal(np.asarray(occ)[live_b],
+                                  np.asarray(ref_b.prim >= 0)[live_b])
+    assert np.asarray(occ)[~live_b].all()  # pre-culled lanes: fake hit
+
+
+def test_pair_matches_oracles():
+    tris, bvh = _scene(n=311, seed=2)
+    o, da, seg_to = _pair_rays(r=300, seed=3)
+    r = o.shape[0]
+    _check(tris, bvh, o, da, seg_to,
+           tmax_a=jnp.full((r,), 3e38), tmin_b=jnp.full((r,), 1e-3),
+           tmax_b=jnp.full((r,), 1.0 - 1e-3))
+
+
+def test_pair_dead_lanes_mixed():
+    """Independently dead A lanes (RR-terminated) and dead B lanes
+    (pre-culled segments) — each ray's live lanes stay exact."""
+    tris, bvh = _scene(n=150, seed=7)
+    o, da, seg_to = _pair_rays(r=257, seed=8)
+    r = o.shape[0]
+    idx = np.arange(r)
+    tmax_a = jnp.where(jnp.asarray(idx % 3 == 0), 0.0, 3e38)
+    tmax_b = jnp.where(jnp.asarray(idx % 4 == 0), 0.0, 1.0 - 1e-3)
+    _check(tris, bvh, o, da, seg_to, tmax_a=tmax_a,
+           tmin_b=jnp.full((r,), 1e-3), tmax_b=tmax_b)
+
+
+def test_pair_fused_nodes_rpl():
+    """Fused node layout (meta in bounds lanes, carried words) + rpl=3."""
+    tris, bvh = _scene(n=311, seed=2, leaf_size=32, fused_nodes=True)
+    assert bvh.fused_nodes and bvh.rpl == 3
+    o, da, seg_to = _pair_rays(r=300, seed=9)
+    r = o.shape[0]
+    _check(tris, bvh, o, da, seg_to,
+           tmax_a=jnp.full((r,), 3e38), tmin_b=jnp.full((r,), 1e-3),
+           tmax_b=jnp.full((r,), 1.0 - 1e-3), rpl=3, fused=True)
+
+
+def test_sorted_pair_trace_matches_separate():
+    """The shared-sort dispatch path (one permutation, packed row gather)
+    returns lane-exact results vs the unsorted kernel call."""
+    from evplp_tpu.trace import intersect as isect
+
+    tris, bvh = _scene(n=311, seed=12)
+    o, da, seg_to = _pair_rays(r=500, seed=13)
+    r = o.shape[0]
+    tmin_a = jnp.full((r,), 1e-5)
+    tmax_a = jnp.where(jnp.asarray(np.arange(r) % 5 == 0), 0.0, 3e38)
+    db = seg_to - o
+    tmin_b = jnp.full((r,), 1e-4)
+    tmax_b = jnp.where(jnp.asarray(np.arange(r) % 7 == 0), 0.0, 1.0 - 1e-4)
+
+    t_s, prim_s, u_s, v_s, occ_s = isect._sorted_pair_trace(
+        bvh, o, da, tmin_a, tmax_a, db, tmin_b, tmax_b)
+    t_r, prim_r, u_r, v_r, occ_r = packet_pair.packet_pair_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, da, tmin_a, tmax_a, db, tmin_b, tmax_b, rows=4, npack=2)
+
+    live_a = np.asarray(tmax_a) > 0
+    live_b = np.asarray(tmax_b) > np.asarray(tmin_b)
+    np.testing.assert_array_equal(np.asarray(prim_s)[live_a],
+                                  np.asarray(prim_r)[live_a])
+    np.testing.assert_allclose(np.asarray(t_s)[live_a],
+                               np.asarray(t_r)[live_a], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(occ_s)[live_b],
+                                  np.asarray(occ_r)[live_b])
