@@ -113,11 +113,12 @@ def _closest_matches(hit, t_ref, p_ref):
 
 def kernel_check(scene, n_rays=8192):
     """Differential check of the COMPILED packet kernels (as Mosaic builds
-    them on this device) vs the dense brute-force oracles, over the four
+    them on this device) vs the dense brute-force oracles, over the six
     production ray paths: coherent closest-hit, shadow any-hit with
     pre-culled lanes (the ~90%-of-all-rays workload,
-    lighttracing.cu:290-294), sorted-incoherent closest (PT bounces), and
-    rpl>1 multi-row leaves.  Returns {path: "pass"|"fail"}."""
+    lighttracing.cu:290-294), sorted-incoherent closest (PT bounces),
+    rpl>1 multi-row leaves, fused node rows (the big-scene layout), and
+    the paired NEE+extension kernel.  Returns {path: "pass"|"fail"}."""
     from evplp_tpu.accel.bvh import build_bvh
     from evplp_tpu.trace.intersect import (_any_brute_chunked,
                                            _closest_brute_chunked,
@@ -204,6 +205,21 @@ def kernel_check(scene, n_rays=8192):
         (mf == (np.asarray(p_ref) >= 0)).all()
         and np.allclose(np.asarray(hitf.t)[mf],
                         np.asarray(t_ref)[mf], rtol=1e-4))
+
+    # 6: paired NEE+extension trace (PT's per-vertex fused dispatch):
+    # closest along the bounce dirs + any-hit segments to the light point,
+    # shared origins, ~25% of segments pre-culled
+    from evplp_tpu.trace.intersect import closest_and_segment
+    seg_to = jnp.asarray(np.broadcast_to(lp, pts.shape), jnp.float32)
+    hit_p, occ_p = closest_and_segment(
+        scene.tris, scene.bvh, o_b, d_b, t_min=1e-4, t_max=3.0e38,
+        seg_to=seg_to, seg_eps=1e-4, seg_live=live)
+    occ_pref = jax.jit(_any_brute_chunked)(
+        scene.tris, o_b, seg_to - o_b, tmin,
+        jnp.full((n_rays,), 1.0 - 1e-4))
+    checks["pair_closest_segment"] = bool(
+        _closest_matches(hit_p, t_rb, p_rb)
+        and (np.asarray(occ_p)[lv] == np.asarray(occ_pref)[lv]).all())
 
     return {k: ("pass" if v else "fail") for k, v in checks.items()}
 
