@@ -14,6 +14,7 @@ CPU tests; the Pallas packet kernel (trace/packet.py) is the TPU hot path.
 """
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 from functools import partial
 
@@ -98,14 +99,39 @@ def _ray_tri(o, d, v0, e1, e2):
     return t, u, v, ok
 
 
+# triangle-row streaming (HBM-resident tri rows, per-drain-slot DMA):
+# "auto" = only past the fully-resident ceiling; "1" = always; "0" = never
+STREAM_TRIS = _os.environ.get("EVPLP_STREAM_TRIS", "auto")
+# fully-VMEM-resident ceilings (measured, v5e 128 MB VMEM: 414k plain =
+# 132.5 MB -> OOM; fused halves node rows)
+RESIDENT_CAP_FUSED = 1_600_000
+RESIDENT_CAP_PLAIN = 300_000
+# streamed ceiling is node-bound: (N, 8) f32 bounds pad to 128 lanes in
+# VMEM => ~512 B/node, nodes ~= tris/17 at leaf 42 => ~30 B/tri
+STREAM_CAP = 3_200_000
+
+
+def _stream_tris(tris: Triangles, bvh) -> bool:
+    if STREAM_TRIS == "0" or not bvh.fused_nodes:
+        return False
+    if STREAM_TRIS == "1":
+        return True
+    return tris.v0.shape[0] > RESIDENT_CAP_FUSED
+
+
 def _use_packet(tris: Triangles, bvh) -> bool:
     """Large-scene strategy selection (trace-time static): the Pallas packet
     kernel (packed VMEM layout) on TPU-like backends when the BVH carries
     the packed mirror, vmapped while_loop traversal elsewhere (CPU tests,
     giant scenes).  The cap is VMEM-resident scene data (tri rows +
     bounds + meta, plus compiler temporaries): ~300k triangles compiles
-    inside v5e's 128 MB VMEM; 414k measured 132.5 MB (OOM)."""
-    cap = 1_600_000 if bvh.fused_nodes else 300_000
+    inside v5e's 128 MB VMEM; 414k measured 132.5 MB (OOM).  Fused node
+    rows lift it to ~1.6M, and HBM-streamed tri rows past that leave only
+    the node bounds resident (~3.2M)."""
+    if _stream_tris(tris, bvh):
+        cap = STREAM_CAP
+    else:
+        cap = RESIDENT_CAP_FUSED if bvh.fused_nodes else RESIDENT_CAP_PLAIN
     if tris.v0.shape[0] > cap or not bvh.has_packed:
         return False
     try:
@@ -323,8 +349,6 @@ def _unswizzle(x, ht, w):
 
 # Incoherent-ray sort key shape (A/B-tunable via env; see bench notes):
 # SORT_BITS origin-cell bits per axis, optionally Morton-interleaved.
-import os as _os  # noqa: E402
-
 # Swept on bounce-2 distributions at 102k tris (same-session): bits
 # 2/3/4 = 373/359/355 ms per 1M-ray closest, morton interleave neutral
 # — the packet working set is direction-divergence-bound, so the key
@@ -333,7 +357,8 @@ SORT_BITS = int(_os.environ.get("EVPLP_SORT_BITS", "4"))
 SORT_MORTON = _os.environ.get("EVPLP_SORT_MORTON", "0") not in ("0", "")
 
 
-def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
+def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
+                         stream: bool = False):
     """Packet trace for INCOHERENT rays: sort by (direction octant, coarse
     origin cell) so each packet's BVH working set collapses.
 
@@ -380,7 +405,7 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool):
         [o, d, t_min[:, None], t_max[:, None]], axis=1)[perm]
     t, prim, u, v = _packet_trace(
         bvh, packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
-        any_hit, None, sorted_shape=True)
+        any_hit, None, sorted_shape=True, stream=stream)
 
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(r, dtype=perm.dtype))
@@ -453,7 +478,10 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)):
+    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)
+            and not _stream_tris(tris, bvh)):
+        # (streamed scenes: the pair kernel has no streaming variant yet —
+        # fall through to the two separate streamed dispatches below)
         db = seg_to - o
         tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
         if seg_live is not None:
@@ -463,9 +491,10 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
             db, jnp.full((r,), seg_eps, jnp.float32), tmax_b)
         return Hit(t=t, prim=prim, u=u, v=v), occ
     hit = intersect_closest(tris, bvh, o, d, t_min=t_min, t_max=t_max,
-                            leaf_size=leaf_size)
+                            leaf_size=leaf_size, sort_rays=True)
     occ = occluded_segment(tris, bvh, o, seg_to, eps=seg_eps,
-                           leaf_size=leaf_size, live=seg_live)
+                           leaf_size=leaf_size, live=seg_live,
+                           sort_rays=True)
     return hit, occ
 
 
@@ -489,13 +518,14 @@ SORTED_NPACK = 2
 
 
 def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape,
-                  sorted_shape: bool = False):
+                  sorted_shape: bool = False, stream: bool = False):
     pm = None if bvh.slot_order else bvh.pk_prim_map
     if bvh.fused_nodes and PACKET_IMPL != "packet3":
         # only packet3 understands the fused node layout
         from evplp_tpu.trace.packet3 import packet3_trace
         kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
-                       bvh.pk_bounds, pm, rpl=bvh.rpl, fused=True)
+                       bvh.pk_bounds, pm, rpl=bvh.rpl, fused=True,
+                       stream_tris=stream)
     elif PACKET_IMPL == "packet7":
         from evplp_tpu.trace.packet7 import packet7_trace
         kern = partial(packet7_trace, bvh.pk_tri_rows, bvh.pk_meta,
@@ -511,7 +541,7 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape,
             kw["npack"] = PACKET_NPACK
         kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
                        bvh.pk_bounds, pm, rpl=bvh.rpl,
-                       fused=bvh.fused_nodes, **kw)
+                       fused=bvh.fused_nodes, stream_tris=stream, **kw)
     r = o.shape[0]
     sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
           and tile_shape[1] % SWIZZLE_TW == 0)
@@ -553,12 +583,13 @@ def intersect_closest(tris: Triangles, bvh: BVH, o, d,
         t, prim, u, v = _closest_brute_chunked(tris, o, d, t_min, t_max)
         return Hit(t=t, prim=prim, u=u, v=v)
     if _use_packet(tris, bvh):
+        stream = _stream_tris(tris, bvh)
         if sort_rays and tile_shape is None:
             t, prim, u, v = _sorted_packet_trace(bvh, o, d, t_min, t_max,
-                                                 False)
+                                                 False, stream=stream)
         else:
             t, prim, u, v = _packet_trace(bvh, o, d, t_min, t_max, False,
-                                          tile_shape)
+                                          tile_shape, stream=stream)
         return Hit(t=t, prim=prim, u=u, v=v)
     leaf_size = max(leaf_size, 14 * bvh.rpl)
     f = jax.vmap(
@@ -584,12 +615,13 @@ def intersect_any(tris: Triangles, bvh: BVH, o, d,
     if tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         return _any_brute_chunked(tris, o, d, t_min, t_max)
     if _use_packet(tris, bvh):
+        stream = _stream_tris(tris, bvh)
         if sort_rays and tile_shape is None:
             _, prim, _, _ = _sorted_packet_trace(bvh, o, d, t_min, t_max,
-                                                 True)
+                                                 True, stream=stream)
         else:
             _, prim, _, _ = _packet_trace(bvh, o, d, t_min, t_max, True,
-                                          tile_shape)
+                                          tile_shape, stream=stream)
         return prim >= 0
     leaf_size = max(leaf_size, 14 * bvh.rpl)
     f = jax.vmap(

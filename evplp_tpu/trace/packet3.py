@@ -57,11 +57,17 @@ _PACK_BASE = 129
 
 def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             stats: bool = False, sync_pack: bool = True,
-            fused: bool = False):
+            fused: bool = False, stream: bool = False):
     """fused: node meta lives in bounds lanes 6/7 (BVH.fused_nodes) — no
     meta array in VMEM; the current node's meta words are CARRIED in the
     scalar loop state (selected when the node was chosen as a child) and
-    the stack holds (node, w0, w1) triples."""
+    the stack holds (node, w0, w1) triples.
+
+    stream: triangle rows stay in HBM; each leaf ENQUEUE starts an async
+    copy of its rpl rows into a per-queue-slot VMEM staging buffer, and the
+    drain waits per entry — the DMA overlaps the traversal iterations
+    between enqueue and drain.  Node bounds stay VMEM-resident, so the
+    scene-size ceiling becomes node-bound instead of (node+tri)-bound."""
     def kernel(bounds_ref, meta_ref, tri_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref,
@@ -71,18 +77,34 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             out_ref = refs[0]
             stat_out = refs[-1]     # SMEM scratch: persists across grid steps
             refs = refs[1:-1]
-        (stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
-         ivx_ref, ivy_ref, ivz_ref,
-         bounds_s, meta_s, tri_s, dma_sem) = refs
+        if stream:
+            (stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
+             ivx_ref, ivy_ref, ivz_ref,
+             bounds_s, meta_s, tri_s, dma_sem, tri_sem) = refs
+        else:
+            (stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
+             ivx_ref, ivy_ref, ivz_ref,
+             bounds_s, meta_s, tri_s, dma_sem) = refs
 
-        # scene residency: the bounds/meta/tri arrays live in HBM (ANY) and
-        # are DMA'd into VMEM scratch ONCE at grid step 0 — scratch persists
-        # across the sequential grid steps, so later packets pay nothing.
-        # (auto-streamed full-array inputs were re-fetched per step:
-        # ~180 us/step at 102k tris, half the coherent-workload runtime)
+        def _stage_dma(k, q, row):
+            """Copy descriptor for queue slot q of packet k <- leaf row
+            `row` (recreated at wait time with the same refs/slices)."""
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(row, rpl)],
+                tri_s.at[pl.ds((k * QCAP + q) * rpl, rpl)],
+                tri_sem.at[k * QCAP + q])
+
+        # scene residency: the bounds/meta (and, unless streaming, tri)
+        # arrays live in HBM (ANY) and are DMA'd into VMEM scratch ONCE at
+        # grid step 0 — scratch persists across the sequential grid steps,
+        # so later packets pay nothing.  (auto-streamed full-array inputs
+        # were re-fetched per step: ~180 us/step at 102k tris, half the
+        # coherent-workload runtime)
         @pl.when(pl.program_id(0) == 0)
         def _():
-            copies = [(bounds_ref, bounds_s), (tri_ref, tri_s)]
+            copies = [(bounds_ref, bounds_s)]
+            if not stream:
+                copies.append((tri_ref, tri_s))
             if not fused:
                 copies.insert(1, (meta_ref, meta_s))
             for src, dst in copies:
@@ -163,13 +185,22 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             def entry(q, carry):
                 row = qrow_ref[k * QSTRIDE + q]
                 count = qcnt_ref[k * QSTRIDE + q]
+                if stream:
+                    # the enqueue started this slot's copy; block until the
+                    # rows are staged (usually already done: the DMA ran
+                    # under the traversal iterations since the enqueue)
+                    _stage_dma(k, q, row).wait()
+                    blk_base = (k * QCAP + q) * rpl
+                else:
+                    blk_base = row
 
-                def row_tests(rr, row_off, carry):
-                    """Test the LEAF triangles of row `row_off` (traced
-                    scalar); `rr` is the row's index within the leaf (also
-                    traced) for the count mask / slot ids."""
+                def row_tests(rr, blk_row, slot_row, carry):
+                    """Test the LEAF triangles of row `blk_row` (traced
+                    scalar; staging row when streaming); slot ids come from
+                    the ORIGINAL row id `slot_row`; `rr` is the row's index
+                    within the leaf for the count mask."""
                     best_t, best_p, best_u, best_v = carry
-                    blk = tri_s[row_off, :]
+                    blk = tri_s[blk_row, :]
                     for j in range(LEAF):
                         b = j * SLOT
                         v0x_, v0y_, v0z_ = blk[b], blk[b + 1], blk[b + 2]
@@ -196,7 +227,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                               & (vv >= 0.0) & (uu + vv <= 1.0)
                               & (tt > tmin) & (tt < best_t)
                               & (rr * LEAF + j < count))
-                        slot_id = row_off * LEAF + j
+                        slot_id = slot_row * LEAF + j
                         if any_hit:
                             # occlusion only: no uv/t refinement needed
                             best_p = jnp.where(ok & (best_p < 0), slot_id,
@@ -212,7 +243,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                     # production leaf sizes (14/42): straight-line, exactly
                     # the round-2 code
                     for rr in range(rpl):
-                        carry = row_tests(rr, row + rr, carry)
+                        carry = row_tests(rr, blk_base + rr, row + rr, carry)
                 else:
                     # fat leaves: roll the row loop so the instruction
                     # footprint stays ONE row of tests (an unrolled
@@ -220,7 +251,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                     # the rolled drain fixed, see drain() docstring)
                     carry = jax.lax.fori_loop(
                         0, rpl,
-                        lambda rr, c: row_tests(rr, row + rr, c),
+                        lambda rr, c: row_tests(rr, blk_base + rr, row + rr, c),
                         carry)
                 return carry
 
@@ -331,12 +362,22 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 slot_l = k * QSTRIDE + jnp.where(enq_l, qns[k], QCAP)
                 qrow_ref[slot_l] = lrow_l
                 qcnt_ref[slot_l] = cnt_l
+                if stream:
+                    # start this slot's HBM->staging copy NOW: it completes
+                    # under the traversal iterations before the drain
+                    @pl.when(enq_l)
+                    def _(k=k, q=qns[k], row=lrow_l):
+                        _stage_dma(k, q, row).start()
                 qn = qns[k] + enq_l.astype(jnp.int32)
 
                 enq_r = want_r & r_leaf
                 slot_r = k * QSTRIDE + jnp.where(enq_r, qn, QCAP)
                 qrow_ref[slot_r] = lrow_r
                 qcnt_ref[slot_r] = cnt_r
+                if stream:
+                    @pl.when(enq_r)
+                    def _(k=k, q=qn, row=lrow_r):
+                        _stage_dma(k, q, row).start()
                 qn = qn + enq_r.astype(jnp.int32)
 
                 # internal children: near first (packet sign on split axis)
@@ -440,11 +481,13 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "rows", "npack", "rpl",
-                                   "stats", "sync_pack", "fused"))
+                                   "stats", "sync_pack", "fused",
+                                   "stream_tris"))
 def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
                   any_hit: bool = False, rows: int = ROWS,
                   npack: int = NPACK, rpl: int = 1, stats: bool = False,
-                  sync_pack: bool = True, fused: bool = False):
+                  sync_pack: bool = True, fused: bool = False,
+                  stream_tris: bool = False):
     assert not sync_pack or npack <= 2, "packed readout overflows for npack>2"
     """Traverse with the packed layout. Returns (t, prim, u, v) with prim
     already mapped to original triangle ids (-1 = miss)."""
@@ -483,8 +526,12 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
     if fused:
         # no meta in VMEM: a dummy row keeps the kernel signature stable
         meta = meta[:1]
+    tri_scratch = (pltpu.VMEM((npack * QCAP * rpl, LANES), tri_rows.dtype)
+                   if stream_tris else
+                   pltpu.VMEM(tri_rows.shape, tri_rows.dtype))
     t, slot, u, v, *stat = pl.pallas_call(
-        _kernel(any_hit, npack, rows, rpl, stats, sync_pack, fused),
+        _kernel(any_hit, npack, rows, rpl, stats, sync_pack, fused,
+                stream_tris),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 8,
         out_specs=out_specs,
@@ -501,9 +548,11 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM(bounds.shape, bounds.dtype),
             pltpu.VMEM(meta.shape, meta.dtype),
-            pltpu.VMEM(tri_rows.shape, tri_rows.dtype),
+            tri_scratch,
             pltpu.SemaphoreType.DMA,
-        ] + ([pltpu.SMEM((4,), jnp.int32)] if stats else []),
+        ] + ([pltpu.SemaphoreType.DMA((npack * QCAP,))] if stream_tris
+             else [])
+          + ([pltpu.SMEM((4,), jnp.int32)] if stats else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(112 if fused else 100) * 1024 * 1024),
         interpret=not _COMPILED,

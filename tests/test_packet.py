@@ -267,3 +267,40 @@ def test_packet3_fused_nodes_matches_oracle():
     live = np.arange(300) % 3 != 0
     np.testing.assert_array_equal(np.asarray(p2 >= 0)[live],
                                   np.asarray(ref2.prim >= 0)[live])
+
+
+def test_packet3_stream_tris_matches_oracle():
+    """HBM-streamed triangle rows (enqueue-time per-slot DMA into VMEM
+    staging) vs oracle — the >1.6M-triangle path's kernel mechanics on a
+    small fused-layout scene."""
+    tris, bvh = _scene(n=311, seed=2)
+    v0 = np.asarray(tris.v0)
+    v1 = v0 + np.asarray(tris.e1)
+    v2 = v0 + np.asarray(tris.e2)
+    from evplp_tpu.accel.bvh import build_bvh
+    bvhf, perm = build_bvh(v0, v1, v2, leaf_size=42, pack=True,
+                           fused_nodes=True)
+    o, d = _rays(r=300, seed=3)
+    t, prim, u, v = packet3.packet3_trace(
+        bvhf.pk_tri_rows, bvhf.pk_meta, bvhf.pk_bounds, bvhf.pk_prim_map,
+        o, d, 1e-4, 3e38, rows=4, npack=2, rpl=bvhf.rpl, fused=True,
+        stream_tris=True)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+    m = np.asarray(prim >= 0)
+    np.testing.assert_array_equal(np.asarray(prim)[m],
+                                  np.asarray(ref.prim)[m])
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+
+    # any-hit with pre-culled lanes through the same streamed drain
+    tmax = jnp.where(jnp.arange(300) % 3 == 0, 0.0, 2.0)
+    _, p2, _, _ = packet3.packet3_trace(
+        bvhf.pk_tri_rows, bvhf.pk_meta, bvhf.pk_bounds, bvhf.pk_prim_map,
+        o, d, jnp.full((300,), 1e-3), tmax, any_hit=True, rows=4, npack=2,
+        rpl=bvhf.rpl, fused=True, stream_tris=True)
+    ref2 = intersect_closest_brute(tris, o, d, t_min=1e-3, t_max=2.0)
+    live = np.arange(300) % 3 != 0
+    np.testing.assert_array_equal(np.asarray(p2 >= 0)[live],
+                                  np.asarray(ref2.prim >= 0)[live])
