@@ -206,6 +206,26 @@ def kernel_check(scene, n_rays=8192):
         and np.allclose(np.asarray(hitf.t)[mf],
                         np.asarray(t_ref)[mf], rtol=1e-4))
 
+    # 7: HBM-streamed triangle rows (the >1.6M layout: enqueue-time
+    # per-slot DMA into VMEM staging) on the same fused geometry
+    from evplp_tpu.trace import packet3 as p3mod
+    cpu = jax.default_backend() == "cpu"      # smoke-test wiring only
+    if cpu:
+        p3mod.set_interpret(True)
+    try:
+        t_s, p_s, _, _ = p3mod.packet3_trace(
+            bvhf.pk_tri_rows, bvhf.pk_meta, bvhf.pk_bounds,
+            None if bvhf.slot_order else bvhf.pk_prim_map,
+            o, d, 1e-4, 3.0e38, rpl=bvhf.rpl, fused=True, stream_tris=True)
+    finally:
+        if cpu:
+            p3mod.set_interpret(False)
+    ms = np.asarray(p_s) >= 0
+    checks["streamed_tris_closest"] = bool(
+        (ms == mf).all()
+        and np.allclose(np.asarray(t_s)[ms], np.asarray(hitf.t)[ms],
+                        rtol=1e-5))
+
     # 6: paired NEE+extension trace (PT's per-vertex fused dispatch):
     # closest along the bounce dirs + any-hit segments to the light point,
     # shared origins, ~25% of segments pre-culled
@@ -279,6 +299,12 @@ def main():
 
     cap_tris, mrays_cap, ms_cap = capacity_row(24500, 15.0)    # ~295k
     cap1m_tris, mrays_1m, ms_1m = capacity_row(85000, 15.0)    # ~1.02M
+    # ~2.4M: past the fused-resident ceiling -> HBM-streamed tri rows
+    try:
+        cap2m_tris, mrays_2m, ms_2m = capacity_row(200000, 15.0)
+    except Exception as e:                      # pragma: no cover
+        cap2m_tris, mrays_2m, ms_2m = -1, 0.0, 0.0
+        print(f"# streamed capacity row failed: {e!r}", flush=True)
 
     # path-tracing throughput on the big scene (1 primary + per-bounce
     # extension + NEE shadow segment per pixel — upper-bound ray count)
@@ -357,6 +383,9 @@ def main():
         "capacity_1m_scene_tris": cap1m_tris,
         "capacity_1m_mrays_per_sec": round(mrays_1m, 2),
         "capacity_1m_ms_per_frame": round(ms_1m, 1),
+        "capacity_2m_scene_tris": cap2m_tris,
+        "capacity_2m_mrays_per_sec": round(mrays_2m, 2),
+        "capacity_2m_ms_per_frame": round(ms_2m, 1),
         "pt_mrays_per_sec": round(pt_mrays, 2),
         "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
         "vsl_ms_per_frame": round(vsl_ms, 1),
