@@ -43,6 +43,10 @@ from evplp_tpu.trace.intersect import (Hit, closest_and_segment,
 # A/B toggle: 1 = fused NEE+extension pair trace per vertex (default);
 # 0 = the round-2 formulation (separate sorted dispatches per trace).
 PT_PAIR = _os.environ.get("EVPLP_PT_PAIR", "1") not in ("0", "")
+# First-vertex variant: its NEE segments are SCREEN-coherent (gbuffer
+# order), so tile packets may beat riding the sorted pair — 0 keeps the
+# tile NEE + separate sorted extension trace at vertex 0.
+PT_PAIR_FIRST = _os.environ.get("EVPLP_PT_PAIR_FIRST", "1") not in ("0", "")
 
 
 def _emit_profile(light_n, to_prev, exponent):
@@ -81,14 +85,14 @@ def _nee_contrib(scene: SceneData, position, normal, inc, kd, ks, ns,
 
 
 def _vertex_traces(scene, position, direction, ext_active, l_pos, surface,
-                   shadow_eps, tile_shape):
+                   shadow_eps, tile_shape, pair=True):
     """Trace a vertex's extension ray (closest) + NEE segment (any-hit).
 
     PT_PAIR: one fused dispatch through one sort permutation; otherwise the
     separate-dispatch formulation (identical results — the pair kernel
     computes the same intersections)."""
     t_max = jnp.where(ext_active, jnp.float32(3.0e38), jnp.float32(0.0))
-    if PT_PAIR:
+    if PT_PAIR and pair:
         return closest_and_segment(
             scene.tris, scene.bvh, position, direction,
             t_min=1e-5, t_max=t_max, seg_to=l_pos, seg_eps=shadow_eps,
@@ -161,7 +165,8 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
 
     hit, occluded = _vertex_traces(scene, position, direction, active,
                                    l_pos, active, shadow_eps=1e-4,
-                                   tile_shape=tile_shape)
+                                   tile_shape=tile_shape,
+                                   pair=PT_PAIR_FIRST)
     result += jnp.where(
         active[:, None],
         _nee_contrib(scene, position, normal, inc, gbuf.kd, gbuf.ks, gbuf.ns,

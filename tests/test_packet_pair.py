@@ -133,3 +133,32 @@ def test_sorted_pair_trace_matches_separate():
                                np.asarray(t_r)[live_a], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(occ_s)[live_b],
                                   np.asarray(occ_r)[live_b])
+
+
+def test_closest_and_segment_fallback_matches_separate():
+    """Off the packet path (CPU/brute), the paired entry must equal the
+    separate intersect_closest + occluded_segment calls exactly."""
+    from evplp_tpu.trace.intersect import (closest_and_segment,
+                                           intersect_closest,
+                                           occluded_segment)
+
+    tris, _bvh = _scene(n=120, seed=21)  # brute-force regime
+    from evplp_tpu.accel.bvh import build_bvh
+    v0 = np.asarray(tris.v0)
+    v1 = v0 + np.asarray(tris.e1)
+    v2 = v0 + np.asarray(tris.e2)
+    bvh, _ = build_bvh(v0, v1, v2, pack=False)
+    o, da, seg_to = _pair_rays(r=200, seed=22)
+    live = jnp.asarray(np.arange(200) % 3 != 0)
+
+    hit, occ = closest_and_segment(tris, bvh, o, da, t_min=1e-5,
+                                   t_max=3e38, seg_to=seg_to,
+                                   seg_eps=1e-4, seg_live=live)
+    ref = intersect_closest(tris, bvh, o, da, t_min=1e-5)
+    occ_ref = occluded_segment(tris, bvh, o, seg_to, eps=1e-4, live=live,
+                               sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(ref.prim))
+    m = np.asarray(hit.prim) >= 0  # miss lanes report their t_max arg
+    np.testing.assert_array_equal(np.asarray(hit.t)[m], np.asarray(ref.t)[m])
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(occ)[lv], np.asarray(occ_ref)[lv])
