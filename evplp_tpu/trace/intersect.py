@@ -498,6 +498,69 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
     return hit, occ
 
 
+@partial(jax.jit, static_argnames=("tile_shape", "leaf_size"))
+def occluded_segment_pair(tris: Triangles, bvh: BVH, p_from, to_a, to_b,
+                          eps: float = 1e-4, live_a=None, live_b=None,
+                          tile_shape=None, leaf_size: int = 8):
+    """TWO segment occlusions per lane from a shared origin (the VPL gather
+    pairs two spatially-adjacent records per pixel): one fused kernel walk
+    over ~the union of the two segment sets, halving the dispatch count of
+    the frame's dominant shadow workload (lighttracing.cu:290-294 traces
+    them per-ray under OptiX).  Returns (occ_a, occ_b); dead segments
+    (live=False) are not traced and report True."""
+    r = p_from.shape[0]
+    da = to_a - p_from
+    db = to_b - p_from
+    one = jnp.float32(1.0 - eps)
+    tmax_a = jnp.full((r,), one) if live_a is None else \
+        jnp.where(live_a, one, jnp.float32(0.0))
+    tmax_b = jnp.full((r,), one) if live_b is None else \
+        jnp.where(live_b, one, jnp.float32(0.0))
+    if (tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
+            or not _use_packet(tris, bvh) or _stream_tris(tris, bvh)):
+        # off the packet path (or streamed scenes — no streamed pair
+        # variant): two separate dispatches, same results
+        occ_a = intersect_any(tris, bvh, p_from, da, t_min=eps,
+                              t_max=tmax_a, leaf_size=leaf_size,
+                              tile_shape=tile_shape)
+        occ_b = intersect_any(tris, bvh, p_from, db, t_min=eps,
+                              t_max=tmax_b, leaf_size=leaf_size,
+                              tile_shape=tile_shape)
+        return occ_a, occ_b
+
+    from evplp_tpu.trace.packet_pair import packet_pair_trace
+    tmin = jnp.full((r,), jnp.float32(eps))
+    o, da_, db_ = p_from, da, db
+    sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
+          and tile_shape[1] % SWIZZLE_TW == 0)
+    if sw:
+        ht, w = tile_shape
+        pad_rows = (-ht) % SWIZZLE_TH
+        if pad_rows:
+            o = jnp.pad(o, ((0, pad_rows * w), (0, 0)))
+            da_ = jnp.pad(da_, ((0, pad_rows * w), (0, 0)),
+                          constant_values=1.0)
+            db_ = jnp.pad(db_, ((0, pad_rows * w), (0, 0)),
+                          constant_values=1.0)
+            tmin = jnp.pad(tmin, (0, pad_rows * w), constant_values=1.0)
+            tmax_a = jnp.pad(tmax_a, (0, pad_rows * w))
+            tmax_b = jnp.pad(tmax_b, (0, pad_rows * w))
+            ht += pad_rows
+        o, da_, db_, tmin, tmax_a, tmax_b = (
+            _swizzle(x, ht, w) for x in (o, da_, db_, tmin, tmax_a, tmax_b))
+    pm = None if bvh.slot_order else bvh.pk_prim_map
+    _, pa, _, _, occ_b = packet_pair_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
+        o, da_, tmin, tmax_a, db_, tmin, tmax_b,
+        rows=64, npack=2, rpl=bvh.rpl, fused=bvh.fused_nodes,
+        a_any_hit=True)
+    occ_a = pa >= 0
+    if sw:
+        occ_a = _unswizzle(occ_a, ht, w)[:r]
+        occ_b = _unswizzle(occ_b, ht, w)[:r]
+    return occ_a, occ_b
+
+
 # packet kernel implementation switch (A/B): "packet3" = one grid step per
 # ray block (default); "packet7" = two-level loop (tiny traversal body +
 # burst drains — measured at parity, kept as the documented alternate;

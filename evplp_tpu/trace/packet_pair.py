@@ -45,13 +45,17 @@ def set_interpret(interpret: bool) -> None:
 
 
 def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
-            fused: bool = False):
+            fused: bool = False, a_any_hit: bool = False):
+    """a_any_hit: ray A is an occlusion segment too (the dual-segment VPL
+    shape — two records gathered per lane from one pixel origin): A's bound
+    stays fixed at tmaxa, lanes retire on first hit, and the packet exits
+    early once every lane resolved BOTH segments."""
     def kernel(bounds_ref, meta_ref, tri_ref,
                ox_ref, oy_ref, oz_ref,
                dax_ref, day_ref, daz_ref, tmina_ref, tmaxa_ref,
                dbx_ref, dby_ref, dbz_ref, tminb_ref, tmaxb_ref,
                t_out, prim_out, u_out, v_out, occ_out,
-               stack_ref, qrow_ref, qcnt_ref, sgn_ref,
+               stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
                ivax_ref, ivay_ref, ivaz_ref,
                ivbx_ref, ivby_ref, ivbz_ref,
                bounds_s, meta_s, tri_s, dma_sem):
@@ -67,8 +71,11 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                 cp.wait()
 
         t_out[:] = tmaxa_ref[:]
-        prim_out[:] = jnp.full_like(prim_out, -1)
-        # retired-at-start B lanes: pre-culled segments (empty interval)
+        if a_any_hit:
+            # retired-at-start lanes: pre-culled segments (empty interval)
+            prim_out[:] = jnp.where(tmaxa_ref[:] <= tmina_ref[:], 0, -1)
+        else:
+            prim_out[:] = jnp.full_like(prim_out, -1)
         occ_out[:] = jnp.where(tmaxb_ref[:] <= tminb_ref[:], 0, -1)
         u_out[:] = jnp.zeros_like(u_out)
         v_out[:] = jnp.zeros_like(v_out)
@@ -111,7 +118,8 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                 return want
 
             want_a = one(ivax_ref[sl], ivay_ref[sl], ivaz_ref[sl],
-                         t_out[sl], None)
+                         t_out[sl],
+                         (prim_out[sl] < 0) if a_any_hit else None)
             want_b = one(ivbx_ref[sl], ivby_ref[sl], ivbz_ref[sl],
                          tmaxb_ref[sl], occ_out[sl] < 0)
             want = want_a | want_b
@@ -162,10 +170,14 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                         ok = ((jnp.abs(det) > TRI_EPS) & (uu >= 0.0)
                               & (vv >= 0.0) & (uu + vv <= 1.0)
                               & (tt > tmina) & (tt < best_t) & in_leaf)
-                        best_t = jnp.where(ok, tt, best_t)
-                        best_p = jnp.where(ok, slot_id, best_p)
-                        best_u = jnp.where(ok, uu, best_u)
-                        best_v = jnp.where(ok, vv, best_v)
+                        if a_any_hit:
+                            best_p = jnp.where(ok & (best_p < 0), slot_id,
+                                               best_p)
+                        else:
+                            best_t = jnp.where(ok, tt, best_t)
+                            best_p = jnp.where(ok, slot_id, best_p)
+                            best_u = jnp.where(ok, uu, best_u)
+                            best_v = jnp.where(ok, vv, best_v)
 
                         # ray B: any-hit segment
                         px = dby * e2z_ - dbz * e2y_
@@ -353,8 +365,18 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                 @pl.when(do_drain)
                 def _(k=k, qn=qns[k]):
                     drain(k, qn)
+                    if a_any_hit:
+                        sl = slice(k * rows, (k + 1) * rows)
+                        hit_ref[k] = jnp.all((prim_out[sl] >= 0)
+                                             & (occ_out[sl] >= 0)).astype(
+                            jnp.int32)
 
                 qns[k] = jnp.where(do_drain, 0, qns[k])
+                if a_any_hit:
+                    stop = do_drain & (hit_ref[k] > 0)
+                    curs[k] = jnp.where(stop, -1, curs[k])
+                    sps[k] = jnp.where(stop, 0, sps[k])
+                    qns[k] = jnp.where(stop, 0, qns[k])
 
             if fused:
                 return (tuple(curs), tuple(sps), tuple(qns),
@@ -376,16 +398,19 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
 
 
 @partial(jax.jit, static_argnames=("rows", "npack", "rpl", "sync_pack",
-                                   "fused"))
+                                   "fused", "a_any_hit"))
 def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
                       da, t_min_a, t_max_a, db, t_min_b, t_max_b,
                       rows: int = 32, npack: int = 2, rpl: int = 1,
-                      sync_pack: bool = True, fused: bool = False):
+                      sync_pack: bool = True, fused: bool = False,
+                      a_any_hit: bool = False):
     """Fused closest(A) + any-hit(B) trace from shared origins.
 
     Returns (t, prim, u, v, occ): prim mapped to original triangle ids
     (-1 = miss) for ray A; occ True where segment B is occluded (pre-culled
-    lanes report True — callers mask them)."""
+    lanes report True — callers mask them).  a_any_hit: ray A is an
+    occlusion segment too (dual-segment mode; t/u/v are then meaningless
+    and prim>=0 just means occluded)."""
     assert not sync_pack or npack <= 2
     r = o.shape[0]
     block_rows = rows * npack
@@ -419,7 +444,7 @@ def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
     if fused:
         meta = meta[:1]
     t, slot, u, v, occ_slot = pl.pallas_call(
-        _kernel(npack, rows, rpl, sync_pack, fused),
+        _kernel(npack, rows, rpl, sync_pack, fused, a_any_hit),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 13,
         out_specs=[ray_spec] * 5,
@@ -430,6 +455,7 @@ def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
             pltpu.SMEM((npack * QSTRIDE,), jnp.int32),
             pltpu.SMEM((npack * QSTRIDE,), jnp.int32),
             pltpu.SMEM((npack * 3,), jnp.int32),
+            pltpu.SMEM((npack,), jnp.int32),
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM((block_rows, LANES), jnp.float32),

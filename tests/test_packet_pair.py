@@ -162,3 +162,65 @@ def test_closest_and_segment_fallback_matches_separate():
     np.testing.assert_array_equal(np.asarray(hit.t)[m], np.asarray(ref.t)[m])
     lv = np.asarray(live)
     np.testing.assert_array_equal(np.asarray(occ)[lv], np.asarray(occ_ref)[lv])
+
+
+def test_pair_dual_segment_mode():
+    """a_any_hit: both rays are occlusion segments (the VPL dual-record
+    shape) — each side matches the brute any-hit oracle, incl. mixed
+    pre-culled lanes and the all-resolved early exit."""
+    tris, bvh = _scene(n=200, seed=30)
+    rng = np.random.default_rng(31)
+    r = 300
+    o = jnp.asarray(rng.uniform(-2, 2, (r, 3)).astype(np.float32))
+    to_a = jnp.asarray(rng.uniform(-1, 1, (r, 3)).astype(np.float32))
+    to_b = to_a + jnp.asarray(
+        rng.normal(0, 0.3, (r, 3)).astype(np.float32))  # adjacent targets
+    da, db = to_a - o, to_b - o
+    idx = np.arange(r)
+    eps = 1e-3
+    tmax_a = jnp.where(jnp.asarray(idx % 5 == 0), 0.0, 1.0 - eps)
+    tmax_b = jnp.where(jnp.asarray(idx % 7 == 0), 0.0, 1.0 - eps)
+    tmin = jnp.full((r,), eps)
+
+    _, pa, _, _, occ_b = packet_pair.packet_pair_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, da, tmin, tmax_a, db, tmin, tmax_b, rows=4, npack=2,
+        a_any_hit=True)
+    occ_a = np.asarray(pa) >= 0
+
+    ref_a = intersect_closest_brute(tris, o, da, t_min=eps, t_max=tmax_a)
+    ref_b = intersect_closest_brute(tris, o, db, t_min=eps, t_max=tmax_b)
+    la = np.asarray(tmax_a) > eps
+    lb = np.asarray(tmax_b) > eps
+    np.testing.assert_array_equal(occ_a[la], np.asarray(ref_a.prim >= 0)[la])
+    np.testing.assert_array_equal(np.asarray(occ_b)[lb],
+                                  np.asarray(ref_b.prim >= 0)[lb])
+    assert occ_a[~la].all() and np.asarray(occ_b)[~lb].all()
+
+
+def test_vpl_gather_pairing_matches_unpaired(monkeypatch):
+    """VPL_PAIR (Morton-sorted records, two per lane) must leave the gather
+    numerically identical up to summation order."""
+    import jax as _jax
+
+    from evplp_tpu.integrators import vpl as vplmod
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.light_trace import trace_light_paths
+    from evplp_tpu.core.sampling import iteration_key
+    from evplp_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    gbuf = trace_gbuffer(scene, 24, 24)
+    pm = trace_light_paths(scene, iteration_key(0, 3), 64, 4)
+    args = dict(mis_mode=1, pdf_mc=jnp.float32(0.3),
+                clamping_value=jnp.float32(0.1), num_vpl_paths=64)
+
+    def run(pair):
+        monkeypatch.setattr(vplmod, "VPL_PAIR", pair)
+        _jax.clear_caches()  # the flag is read at trace time
+        return np.asarray(vplmod.vpl_gather(scene, gbuf, pm, **args))
+
+    base = run(False)
+    paired = run(True)
+    np.testing.assert_allclose(paired, base, rtol=2e-5, atol=1e-7)
+    assert base.any()
