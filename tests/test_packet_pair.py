@@ -224,3 +224,31 @@ def test_vpl_gather_pairing_matches_unpaired(monkeypatch):
     paired = run(True)
     np.testing.assert_allclose(paired, base, rtol=2e-5, atol=1e-7)
     assert base.any()
+
+
+def test_vsl_group_occlusion_pairing_matches(monkeypatch):
+    """VSL's dual-record group occlusion equals the single-segment path."""
+    import jax as _jax
+
+    from evplp_tpu.integrators import vsl as vslmod
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.light_trace import trace_light_paths
+    from evplp_tpu.core.sampling import iteration_key
+    from evplp_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    gbuf = trace_gbuffer(scene, 16, 16)
+    pm = trace_light_paths(scene, iteration_key(0, 5), 8, 4)
+    flat = pm.flat()
+    recs = {"pos": flat.pos[:8], "normal": flat.normal[:8],
+            "flags": flat.flags[:8]}
+
+    def run(pair):
+        monkeypatch.setattr(vslmod, "SEG_PAIR", pair)
+        _jax.clear_caches()
+        return np.asarray(_jax.jit(vslmod._group_occlusion,
+                                   static_argnames=("tile_shape",))(
+            scene, gbuf.position, gbuf.normal, gbuf.stencil, recs,
+            tile_shape=None))
+
+    np.testing.assert_array_equal(run(True), run(False))
