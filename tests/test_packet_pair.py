@@ -252,3 +252,33 @@ def test_vsl_group_occlusion_pairing_matches(monkeypatch):
             tile_shape=None))
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_occluded_segment_pair_swizzle_branch(monkeypatch):
+    """Force the packet+tile-swizzle branch (TPU-only in production) in
+    interpret mode: results must equal the separate-dispatch fallback."""
+    from evplp_tpu.trace import intersect as isect
+
+    tris, bvh = _scene(n=2500, seed=40)  # above the brute threshold
+    rng = np.random.default_rng(41)
+    ht, w = 64, 128                      # one swizzle tile
+    r = ht * w
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (r, 3)).astype(np.float32))
+    to_a = jnp.asarray(rng.uniform(-1, 1, (r, 3)).astype(np.float32))
+    to_b = to_a + jnp.asarray(rng.normal(0, 0.2, (r, 3)).astype(np.float32))
+    live_a = jnp.asarray(np.arange(r) % 5 != 0)
+    live_b = jnp.asarray(np.arange(r) % 7 != 0)
+
+    ref_a = isect.occluded_segment(tris, bvh, o, to_a, eps=1e-4, live=live_a)
+    ref_b = isect.occluded_segment(tris, bvh, o, to_b, eps=1e-4, live=live_b)
+
+    monkeypatch.setattr(isect, "_use_packet", lambda t, b: True)
+    occ_a, occ_b = isect.occluded_segment_pair(
+        tris, bvh, o, to_a, to_b, eps=1e-4, live_a=live_a, live_b=live_b,
+        tile_shape=(ht, w))
+
+    la, lb = np.asarray(live_a), np.asarray(live_b)
+    np.testing.assert_array_equal(np.asarray(occ_a)[la],
+                                  np.asarray(ref_a)[la])
+    np.testing.assert_array_equal(np.asarray(occ_b)[lb],
+                                  np.asarray(ref_b)[lb])
