@@ -417,7 +417,7 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
 
 
 def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
-                       db, t_min_b, t_max_b):
+                       db, t_min_b, t_max_b, stream: bool = False):
     """Shared-sort fused closest(A)+any-hit(B) trace (see packet_pair.py).
 
     One permutation serves both rays: the sort key comes from ray A's
@@ -454,7 +454,7 @@ def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
         packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
         packed[:, 8:11], packed[:, 11], packed[:, 12],
         rows=SORTED_ROWS, npack=SORTED_NPACK, rpl=bvh.rpl,
-        fused=bvh.fused_nodes)
+        fused=bvh.fused_nodes, stream_tris=stream)
 
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(r, dtype=perm.dtype))
@@ -478,17 +478,15 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)
-            and not _stream_tris(tris, bvh)):
-        # (streamed scenes: the pair kernel has no streaming variant yet —
-        # fall through to the two separate streamed dispatches below)
+    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)):
         db = seg_to - o
         tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
         if seg_live is not None:
             tmax_b = jnp.where(seg_live, tmax_b, 0.0)
         t, prim, u, v, occ = _sorted_pair_trace(
             bvh, o, d, t_min, t_max,
-            db, jnp.full((r,), seg_eps, jnp.float32), tmax_b)
+            db, jnp.full((r,), seg_eps, jnp.float32), tmax_b,
+            stream=_stream_tris(tris, bvh))
         return Hit(t=t, prim=prim, u=u, v=v), occ
     hit = intersect_closest(tris, bvh, o, d, t_min=t_min, t_max=t_max,
                             leaf_size=leaf_size, sort_rays=True)
@@ -517,9 +515,8 @@ def occluded_segment_pair(tris: Triangles, bvh: BVH, p_from, to_a, to_b,
     tmax_b = jnp.full((r,), one) if live_b is None else \
         jnp.where(live_b, one, jnp.float32(0.0))
     if (tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
-            or not _use_packet(tris, bvh) or _stream_tris(tris, bvh)):
-        # off the packet path (or streamed scenes — no streamed pair
-        # variant): two separate dispatches, same results
+            or not _use_packet(tris, bvh)):
+        # off the packet path: two separate dispatches, same results
         occ_a = intersect_any(tris, bvh, p_from, da, t_min=eps,
                               t_max=tmax_a, leaf_size=leaf_size,
                               tile_shape=tile_shape)
@@ -553,7 +550,7 @@ def occluded_segment_pair(tris: Triangles, bvh: BVH, p_from, to_a, to_b,
         bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
         o, da_, tmin, tmax_a, db_, tmin, tmax_b,
         rows=64, npack=2, rpl=bvh.rpl, fused=bvh.fused_nodes,
-        a_any_hit=True)
+        a_any_hit=True, stream_tris=_stream_tris(tris, bvh))
     occ_a = pa >= 0
     if sw:
         occ_a = _unswizzle(occ_a, ht, w)[:r]

@@ -45,24 +45,43 @@ def set_interpret(interpret: bool) -> None:
 
 
 def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
-            fused: bool = False, a_any_hit: bool = False):
+            fused: bool = False, a_any_hit: bool = False,
+            stream: bool = False):
     """a_any_hit: ray A is an occlusion segment too (the dual-segment VPL
     shape — two records gathered per lane from one pixel origin): A's bound
     stays fixed at tmaxa, lanes retire on first hit, and the packet exits
-    early once every lane resolved BOTH segments."""
+    early once every lane resolved BOTH segments.
+
+    stream: HBM-resident tri rows with enqueue-time per-slot DMA staging
+    (same mechanism as packet3 stream_tris)."""
     def kernel(bounds_ref, meta_ref, tri_ref,
                ox_ref, oy_ref, oz_ref,
                dax_ref, day_ref, daz_ref, tmina_ref, tmaxa_ref,
                dbx_ref, dby_ref, dbz_ref, tminb_ref, tmaxb_ref,
                t_out, prim_out, u_out, v_out, occ_out,
-               stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
-               ivax_ref, ivay_ref, ivaz_ref,
-               ivbx_ref, ivby_ref, ivbz_ref,
-               bounds_s, meta_s, tri_s, dma_sem):
+               *refs):
+        if stream:
+            (stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
+             ivax_ref, ivay_ref, ivaz_ref,
+             ivbx_ref, ivby_ref, ivbz_ref,
+             bounds_s, meta_s, tri_s, dma_sem, tri_sem) = refs
+        else:
+            (stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
+             ivax_ref, ivay_ref, ivaz_ref,
+             ivbx_ref, ivby_ref, ivbz_ref,
+             bounds_s, meta_s, tri_s, dma_sem) = refs
+
+        def _stage_dma(k, q, row):
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(row, rpl)],
+                tri_s.at[pl.ds((k * QCAP + q) * rpl, rpl)],
+                tri_sem.at[k * QCAP + q])
         # scene residency: DMA once at grid step 0 (scratch persists)
         @pl.when(pl.program_id(0) == 0)
         def _():
-            copies = [(bounds_ref, bounds_s), (tri_ref, tri_s)]
+            copies = [(bounds_ref, bounds_s)]
+            if not stream:
+                copies.append((tri_ref, tri_s))
             if not fused:
                 copies.insert(1, (meta_ref, meta_s))
             for src, dst in copies:
@@ -139,10 +158,15 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
             def entry(q, carry):
                 row = qrow_ref[k * QSTRIDE + q]
                 count = qcnt_ref[k * QSTRIDE + q]
+                if stream:
+                    _stage_dma(k, q, row).wait()
+                    blk_base = (k * QCAP + q) * rpl
+                else:
+                    blk_base = row
 
-                def row_tests(rr, row_off, carry):
+                def row_tests(rr, row_off, slot_row, carry):
                     best_t, best_p, best_u, best_v, occ = carry
-                    blk = tri_s[row_off, :]
+                    blk = tri_s[row_off, :]          # staging row if stream
                     for j in range(LEAF):
                         b = j * SLOT
                         v0x_, v0y_, v0z_ = blk[b], blk[b + 1], blk[b + 2]
@@ -152,7 +176,7 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                         ty = oy - v0y_
                         tz = oz - v0z_
                         in_leaf = rr * LEAF + j < count
-                        slot_id = row_off * LEAF + j
+                        slot_id = slot_row * LEAF + j
 
                         # ray A: closest
                         px = day * e2z_ - daz * e2y_
@@ -200,11 +224,12 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
 
                 if rpl <= 4:
                     for rr in range(rpl):
-                        carry = row_tests(rr, row + rr, carry)
+                        carry = row_tests(rr, blk_base + rr, row + rr, carry)
                 else:
                     carry = jax.lax.fori_loop(
                         0, rpl,
-                        lambda rr, c: row_tests(rr, row + rr, c),
+                        lambda rr, c: row_tests(rr, blk_base + rr, row + rr,
+                                                c),
                         carry)
                 return carry
 
@@ -302,12 +327,20 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                 slot_l = k * QSTRIDE + jnp.where(enq_l, qns[k], QCAP)
                 qrow_ref[slot_l] = lrow_l
                 qcnt_ref[slot_l] = cnt_l
+                if stream:
+                    @pl.when(enq_l)
+                    def _(k=k, q=qns[k], row=lrow_l):
+                        _stage_dma(k, q, row).start()
                 qn = qns[k] + enq_l.astype(jnp.int32)
 
                 enq_r = want_r & r_leaf
                 slot_r = k * QSTRIDE + jnp.where(enq_r, qn, QCAP)
                 qrow_ref[slot_r] = lrow_r
                 qcnt_ref[slot_r] = cnt_r
+                if stream:
+                    @pl.when(enq_r)
+                    def _(k=k, q=qn, row=lrow_r):
+                        _stage_dma(k, q, row).start()
                 qn = qn + enq_r.astype(jnp.int32)
 
                 wl = want_l & jnp.logical_not(l_leaf)
@@ -398,12 +431,12 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
 
 
 @partial(jax.jit, static_argnames=("rows", "npack", "rpl", "sync_pack",
-                                   "fused", "a_any_hit"))
+                                   "fused", "a_any_hit", "stream_tris"))
 def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
                       da, t_min_a, t_max_a, db, t_min_b, t_max_b,
                       rows: int = 32, npack: int = 2, rpl: int = 1,
                       sync_pack: bool = True, fused: bool = False,
-                      a_any_hit: bool = False):
+                      a_any_hit: bool = False, stream_tris: bool = False):
     """Fused closest(A) + any-hit(B) trace from shared origins.
 
     Returns (t, prim, u, v, occ): prim mapped to original triangle ids
@@ -443,8 +476,11 @@ def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
     ]
     if fused:
         meta = meta[:1]
+    tri_scratch = (pltpu.VMEM((npack * QCAP * rpl, LANES), tri_rows.dtype)
+                   if stream_tris else
+                   pltpu.VMEM(tri_rows.shape, tri_rows.dtype))
     t, slot, u, v, occ_slot = pl.pallas_call(
-        _kernel(npack, rows, rpl, sync_pack, fused, a_any_hit),
+        _kernel(npack, rows, rpl, sync_pack, fused, a_any_hit, stream_tris),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 13,
         out_specs=[ray_spec] * 5,
@@ -464,9 +500,10 @@ def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM(bounds.shape, bounds.dtype),
             pltpu.VMEM(meta.shape, meta.dtype),
-            pltpu.VMEM(tri_rows.shape, tri_rows.dtype),
+            tri_scratch,
             pltpu.SemaphoreType.DMA,
-        ],
+        ] + ([pltpu.SemaphoreType.DMA((npack * QCAP,))] if stream_tris
+             else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(112 if fused else 100) * 1024 * 1024),
         interpret=not _COMPILED,

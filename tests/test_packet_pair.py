@@ -282,3 +282,33 @@ def test_occluded_segment_pair_swizzle_branch(monkeypatch):
                                   np.asarray(ref_a)[la])
     np.testing.assert_array_equal(np.asarray(occ_b)[lb],
                                   np.asarray(ref_b)[lb])
+
+
+def test_pair_stream_tris_matches_unstreamed():
+    """Streamed pair kernel (HBM tri rows + staging DMA) equals the
+    resident-scene kernel, both pair modes."""
+    tris, bvh = _scene(n=311, seed=2, leaf_size=42, fused_nodes=True)
+    o, da, seg_to = _pair_rays(r=300, seed=9)
+    r = o.shape[0]
+    db = seg_to - o
+    tmin = jnp.full((r,), 1e-4)
+    tmax_a = jnp.full((r,), 3e38)
+    tmax_b = jnp.full((r,), 1.0 - 1e-4)
+
+    for a_any in (False, True):
+        ta = jnp.full((r,), 1.0 - 1e-4) if a_any else tmax_a
+        base = packet_pair.packet_pair_trace(
+            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+            o, da, tmin, ta, db, tmin, tmax_b, rows=4, npack=2,
+            rpl=bvh.rpl, fused=True, a_any_hit=a_any)
+        strm = packet_pair.packet_pair_trace(
+            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+            o, da, tmin, ta, db, tmin, tmax_b, rows=4, npack=2,
+            rpl=bvh.rpl, fused=True, a_any_hit=a_any, stream_tris=True)
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(strm[1]))
+        np.testing.assert_array_equal(np.asarray(base[4]),
+                                      np.asarray(strm[4]))
+        if not a_any:
+            np.testing.assert_array_equal(np.asarray(base[0]),
+                                          np.asarray(strm[0]))
