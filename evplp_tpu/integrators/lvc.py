@@ -10,6 +10,7 @@ gather per scan step.
 """
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
@@ -20,21 +21,38 @@ from evplp_tpu.core import mathutil as mu
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.integrators.light_trace import FLAG_VPL, PhotonMap
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.trace.intersect import occluded_segment
+from evplp_tpu.trace.intersect import occluded_segment, occluded_segment_pair
+
+# shares vpl.py's A/B env: dual-record shadow segments per lane
+SEG_PAIR = _os.environ.get("EVPLP_VPL_PAIR", "0") not in ("0", "")
 
 
-def _lvc_contribution(scene, gbuf, rec, mis_mode, pdf_mc, clamping_value,
-                      wi10, tile_shape=None):
-    """vplSplat math with PER-PIXEL records (all rec fields are (N, ...))."""
+def _lvc_pre(gbuf, rec):
+    """Pre-cull mask for a per-pixel record set (backfacing / sky /
+    unusable pairs are never traced)."""
     v12 = rec["pos"] - gbuf.position
     ucos1 = jnp.maximum(mu.dot(gbuf.normal, v12), 0.0)
     ucos2 = jnp.maximum(-mu.dot(rec["normal"], v12), 0.0)
-    cull = (ucos1 * ucos2) > 0.0
-
     usable = (rec["flags"] & FLAG_VPL) != 0
-    pre = cull & (gbuf.stencil > 0.0) & usable
-    occ = occluded_segment(scene.tris, scene.bvh, rec["pos"], gbuf.position,
-                           eps=1e-4, live=pre, tile_shape=tile_shape)
+    return ((ucos1 * ucos2) > 0.0) & (gbuf.stencil > 0.0) & usable
+
+
+def _lvc_contribution(scene, gbuf, rec, mis_mode, pdf_mc, clamping_value,
+                      wi10, tile_shape=None, pre=None, occ=None):
+    """vplSplat math with PER-PIXEL records (all rec fields are (N, ...)).
+
+    pre/occ: precomputed cull + occlusion (the paired-segment path trades
+    two records through one fused walk); traced here when absent."""
+    v12 = rec["pos"] - gbuf.position
+    ucos1 = jnp.maximum(mu.dot(gbuf.normal, v12), 0.0)
+    ucos2 = jnp.maximum(-mu.dot(rec["normal"], v12), 0.0)
+
+    if pre is None:
+        pre = _lvc_pre(gbuf, rec)
+    if occ is None:
+        occ = occluded_segment(scene.tris, scene.bvh, rec["pos"],
+                               gbuf.position, eps=1e-4, live=pre,
+                               tile_shape=tile_shape)
 
     d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
     wi12 = v12 * jax.lax.rsqrt(d2)[:, None]
@@ -115,5 +133,37 @@ def lvc_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
     ii = jnp.repeat(jnp.arange(num_vpl_paths, dtype=jnp.int32), b)
     jj = jnp.tile(jnp.arange(b, dtype=jnp.int32), num_vpl_paths)
     acc0 = jnp.zeros_like(gbuf.position)
-    acc, _ = jax.lax.scan(step, acc0, (ii, jj))
+    total = num_vpl_paths * b
+    if SEG_PAIR and total % 2 == 0:
+        # two consecutive records (adjacent vertices of the same light
+        # path) per scan step through one fused dual-segment walk —
+        # see vpl.py VPL_PAIR / trace.intersect.occluded_segment_pair
+        def fetch(i, j):
+            path = (offset + i) % num_paths
+            ridx = path * b + j
+            return {k: v[ridx] for k, v in fields.items()}
+
+        def pair_step(acc, ij2):
+            i0, j0, i1, j1 = ij2
+            rec0 = fetch(i0, j0)
+            rec1 = fetch(i1, j1)
+            pre0 = _lvc_pre(gbuf, rec0)
+            pre1 = _lvc_pre(gbuf, rec1)
+            occ0, occ1 = occluded_segment_pair(
+                scene.tris, scene.bvh, gbuf.position, rec0["pos"],
+                rec1["pos"], eps=1e-4, live_a=pre0, live_b=pre1,
+                tile_shape=tile_shape)
+            acc = acc + _lvc_contribution(
+                scene, gbuf, rec0, mis_mode, pdf_mc, clamping_value, wi10,
+                pre=pre0, occ=occ0)
+            acc = acc + _lvc_contribution(
+                scene, gbuf, rec1, mis_mode, pdf_mc, clamping_value, wi10,
+                pre=pre1, occ=occ1)
+            return acc, None
+
+        acc, _ = jax.lax.scan(
+            pair_step, acc0,
+            (ii[0::2], jj[0::2], ii[1::2], jj[1::2]))
+    else:
+        acc, _ = jax.lax.scan(step, acc0, (ii, jj))
     return acc / float(num_vpl_paths)

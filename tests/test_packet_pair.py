@@ -312,3 +312,32 @@ def test_pair_stream_tris_matches_unstreamed():
         if not a_any:
             np.testing.assert_array_equal(np.asarray(base[0]),
                                           np.asarray(strm[0]))
+
+
+def test_lvc_gather_pairing_matches(monkeypatch):
+    """LVC's dual-record scan (two adjacent light-path vertices per step)
+    equals the single-record scan up to summation order."""
+    import jax as _jax
+
+    from evplp_tpu.integrators import lvc as lvcmod
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.light_trace import trace_light_paths
+    from evplp_tpu.core.sampling import iteration_key
+    from evplp_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    gbuf = trace_gbuffer(scene, 16, 16)
+    pm = trace_light_paths(scene, iteration_key(0, 7), 16, 4)
+    args = dict(mis_mode=2, pdf_mc=jnp.float32(0.2),
+                clamping_value=jnp.float32(0.1), num_vpl_paths=8)
+
+    def run(pair):
+        monkeypatch.setattr(lvcmod, "SEG_PAIR", pair)
+        _jax.clear_caches()
+        return np.asarray(lvcmod.lvc_gather(scene, gbuf, pm,
+                                            iteration_key(9, 0), **args))
+
+    base = run(False)
+    paired = run(True)
+    np.testing.assert_allclose(paired, base, rtol=2e-5, atol=1e-7)
+    assert base.any()
