@@ -73,6 +73,13 @@ class BVH:
     # the bounds row's free lanes halves per-node VMEM — with 32-triangle
     # leaves this lifts the packet path's scene ceiling to ~1.6M triangles
     fused_nodes: bool = False
+    # True -> pk_bounds is additionally reshaped (ceil(N/16), 128): 16
+    # fused node rows share one 128-lane VMEM row (node n at lanes
+    # (n%16)*8 .. +8).  Kernels fetch row n>>4 and pltpu.roll the node's
+    # lanes to 0-7 — 16x less node VMEM (~32 B/node), which with
+    # HBM-streamed tri rows lifts the scene ceiling to ~20M triangles.
+    # Requires fused_nodes.
+    packed16: bool = False
 
     @property
     def num_nodes(self) -> int:
@@ -87,12 +94,12 @@ class BVH:
                 self.node_first, self.node_count,
                 self.pk_tri_rows, self.pk_meta, self.pk_bounds,
                 self.pk_prim_map), (self.rpl, self.slot_order,
-                                    self.fused_nodes)
+                                    self.fused_nodes, self.packed16)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):  # pragma: no cover
         return cls(*leaves, rpl=aux[0], slot_order=aux[1],
-                   fused_nodes=aux[2])
+                   fused_nodes=aux[2], packed16=aux[3])
 
 
 jtu.register_pytree_node(BVH, BVH.tree_flatten, BVH.tree_unflatten)
@@ -333,7 +340,8 @@ def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p,
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               leaf_size: int = LEAF_SIZE, pack: bool | None = None,
-              slot_order: bool = False, fused_nodes: bool = False):
+              slot_order: bool = False, fused_nodes: bool = False,
+              packed_nodes: bool = False):
     """Build and flatten. Returns (BVH, order) — per-triangle arrays must
     be built as X[order[i]] (order[i] == -1: padding row, use a degenerate
     default).  Without slot_order, `order` is the classic leaf permutation.
@@ -373,6 +381,13 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         pk = (np.zeros((1, 128), np.float32), np.zeros((1, 4), np.int32),
               np.zeros((1, 8), np.float32), np.full((8,), -1, np.int32))
 
+    pk_bounds = pk[2]
+    if pack and packed_nodes:
+        assert fused_nodes, "packed_nodes requires fused_nodes"
+        n = pk_bounds.shape[0]
+        padn = (-n) % 16
+        pb = np.pad(pk_bounds, ((0, padn), (0, 0)))
+        pk_bounds = pb.reshape(-1, 128)
     bvh = BVH(
         node_min=jnp.asarray(nmin),
         node_max=jnp.asarray(nmax),
@@ -381,11 +396,12 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         node_count=jnp.asarray(count, dtype=jnp.int32),
         pk_tri_rows=jnp.asarray(pk[0]),
         pk_meta=jnp.asarray(pk[1]),
-        pk_bounds=jnp.asarray(pk[2]),
+        pk_bounds=jnp.asarray(pk_bounds),
         pk_prim_map=jnp.asarray(pk[3]),
         rpl=-(-leaf_size // ROW_TRIS) if pack else 1,
         slot_order=bool(pack and slot_order),
         fused_nodes=bool(pack and fused_nodes),
+        packed16=bool(pack and packed_nodes),
     )
     if pack and slot_order:
         return bvh, order

@@ -158,8 +158,10 @@ def build_scene(
     # fused_nodes): half the per-node VMEM, ceiling ~1.6M triangles,
     # throughput parity (leaf-size sweep measured flat on v5e).
     big = v0.shape[0] > 280_000
+    huge = v0.shape[0] > 3_200_000   # past the streamed node-bound ceiling
     bvh, order = build_bvh(v0, v1, v2, slot_order=True,
-                           leaf_size=42 if big else 14, fused_nodes=big)
+                           leaf_size=42 if big else 14, fused_nodes=big,
+                           packed_nodes=huge)
     valid = order >= 0
     oi = np.maximum(order, 0)
 

@@ -109,6 +109,9 @@ RESIDENT_CAP_PLAIN = 300_000
 # streamed ceiling is node-bound: (N, 8) f32 bounds pad to 128 lanes in
 # VMEM => ~512 B/node, nodes ~= tris/17 at leaf 42 => ~30 B/tri
 STREAM_CAP = 3_200_000
+# packed16 node rows (16 nodes per 128-lane row, BVH.packed16) cut node
+# VMEM 16x => ~2 B/tri resident with streamed tri rows
+PACKED16_CAP = 20_000_000
 
 
 def _stream_tris(tris: Triangles, bvh) -> bool:
@@ -129,7 +132,7 @@ def _use_packet(tris: Triangles, bvh) -> bool:
     rows lift it to ~1.6M, and HBM-streamed tri rows past that leave only
     the node bounds resident (~3.2M)."""
     if _stream_tris(tris, bvh):
-        cap = STREAM_CAP
+        cap = PACKED16_CAP if bvh.packed16 else STREAM_CAP
     else:
         cap = RESIDENT_CAP_FUSED if bvh.fused_nodes else RESIDENT_CAP_PLAIN
     if tris.v0.shape[0] > cap or not bvh.has_packed:
@@ -478,7 +481,10 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)):
+    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)
+            and not bvh.packed16):
+        # (packed16 giant scenes: the pair kernel has no 16-per-row node
+        # fetch yet — two separate streamed dispatches below instead)
         db = seg_to - o
         tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
         if seg_live is not None:
@@ -515,8 +521,9 @@ def occluded_segment_pair(tris: Triangles, bvh: BVH, p_from, to_a, to_b,
     tmax_b = jnp.full((r,), one) if live_b is None else \
         jnp.where(live_b, one, jnp.float32(0.0))
     if (tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
-            or not _use_packet(tris, bvh)):
-        # off the packet path: two separate dispatches, same results
+            or not _use_packet(tris, bvh) or bvh.packed16):
+        # off the packet path (or packed16 giant scenes — no pair-kernel
+        # support yet): two separate dispatches, same results
         occ_a = intersect_any(tris, bvh, p_from, da, t_min=eps,
                               t_max=tmax_a, leaf_size=leaf_size,
                               tile_shape=tile_shape)
@@ -585,7 +592,7 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape,
         from evplp_tpu.trace.packet3 import packet3_trace
         kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
                        bvh.pk_bounds, pm, rpl=bvh.rpl, fused=True,
-                       stream_tris=stream)
+                       stream_tris=stream, packed16=bvh.packed16)
     elif PACKET_IMPL == "packet7":
         from evplp_tpu.trace.packet7 import packet7_trace
         kern = partial(packet7_trace, bvh.pk_tri_rows, bvh.pk_meta,
@@ -601,7 +608,8 @@ def _packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool, tile_shape,
             kw["npack"] = PACKET_NPACK
         kern = partial(packet3_trace, bvh.pk_tri_rows, bvh.pk_meta,
                        bvh.pk_bounds, pm, rpl=bvh.rpl,
-                       fused=bvh.fused_nodes, stream_tris=stream, **kw)
+                       fused=bvh.fused_nodes, stream_tris=stream,
+                       packed16=bvh.packed16, **kw)
     r = o.shape[0]
     sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
           and tile_shape[1] % SWIZZLE_TW == 0)

@@ -57,7 +57,8 @@ _PACK_BASE = 129
 
 def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             stats: bool = False, sync_pack: bool = True,
-            fused: bool = False, stream: bool = False):
+            fused: bool = False, stream: bool = False,
+            packed16: bool = False):
     """fused: node meta lives in bounds lanes 6/7 (BVH.fused_nodes) — no
     meta array in VMEM; the current node's meta words are CARRIED in the
     scalar loop state (selected when the node was chosen as a child) and
@@ -93,6 +94,16 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 tri_ref.at[pl.ds(row, rpl)],
                 tri_s.at[pl.ds((k * QCAP + q) * rpl, rpl)],
                 tri_sem.at[k * QCAP + q])
+
+        def _node_row(n):
+            """A node's 8-lane bounds(+meta) row.  packed16: 16 nodes
+            share one 128-lane VMEM row — fetch row n>>4 and rotate the
+            node's lanes to 0-7 (pltpu.roll takes a traced shift)."""
+            if not packed16:
+                return bounds_s[n, :]
+            raw = bounds_s[n >> 4, :]
+            base = (n & 15) * 8
+            return pltpu.roll(raw, shift=(128 - base) & 127, axis=0)
 
         # scene residency: the bounds/meta (and, unless streaming, tri)
         # arrays live in HBM (ANY) and are DMA'd into VMEM scratch ONCE at
@@ -310,8 +321,8 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 if fused:
                     right = w1s[k] >> 2
                     axis = w1s[k] & 3
-                    row_l = bounds_s[left, :]
-                    row_r = bounds_s[jnp.maximum(right, 0), :]
+                    row_l = _node_row(left)
+                    row_r = _node_row(jnp.maximum(right, 0))
                     ml = _meta_words(row_l)      # (w0, w1) of each child
                     mr = _meta_words(row_r)
                     wl = slab(k, row_l)
@@ -466,7 +477,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
         zeros = tuple(zero for _ in range(npack))
         if fused:
             # root meta words from the fused root row
-            w0r, w1r = _meta_words(bounds_s[0, :])
+            w0r, w1r = _meta_words(_node_row(0))
             init = (zeros, zeros, zeros,
                     tuple(w0r for _ in range(npack)),
                     tuple(w1r for _ in range(npack)))
@@ -482,12 +493,12 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
 
 @partial(jax.jit, static_argnames=("any_hit", "rows", "npack", "rpl",
                                    "stats", "sync_pack", "fused",
-                                   "stream_tris"))
+                                   "stream_tris", "packed16"))
 def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
                   any_hit: bool = False, rows: int = ROWS,
                   npack: int = NPACK, rpl: int = 1, stats: bool = False,
                   sync_pack: bool = True, fused: bool = False,
-                  stream_tris: bool = False):
+                  stream_tris: bool = False, packed16: bool = False):
     assert not sync_pack or npack <= 2, "packed readout overflows for npack>2"
     """Traverse with the packed layout. Returns (t, prim, u, v) with prim
     already mapped to original triangle ids (-1 = miss)."""
@@ -531,7 +542,7 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
                    pltpu.VMEM(tri_rows.shape, tri_rows.dtype))
     t, slot, u, v, *stat = pl.pallas_call(
         _kernel(any_hit, npack, rows, rpl, stats, sync_pack, fused,
-                stream_tris),
+                stream_tris, packed16),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 8,
         out_specs=out_specs,

@@ -304,3 +304,31 @@ def test_packet3_stream_tris_matches_oracle():
     live = np.arange(300) % 3 != 0
     np.testing.assert_array_equal(np.asarray(p2 >= 0)[live],
                                   np.asarray(ref2.prim >= 0)[live])
+
+
+def test_packet3_packed16_nodes_matches_oracle():
+    """16-nodes-per-row bounds layout (pltpu.roll node fetch) + streamed
+    tri rows vs oracle — the >3.2M-triangle path's mechanics at test
+    scale."""
+    tris, bvh = _scene(n=311, seed=2)
+    v0 = np.asarray(tris.v0)
+    v1 = v0 + np.asarray(tris.e1)
+    v2 = v0 + np.asarray(tris.e2)
+    from evplp_tpu.accel.bvh import build_bvh
+    bvhp, perm = build_bvh(v0, v1, v2, leaf_size=42, pack=True,
+                           fused_nodes=True, packed_nodes=True)
+    assert bvhp.packed16 and bvhp.pk_bounds.shape[1] == 128
+    o, d = _rays(r=300, seed=3)
+    for stream in (False, True):
+        t, prim, u, v = packet3.packet3_trace(
+            bvhp.pk_tri_rows, bvhp.pk_meta, bvhp.pk_bounds,
+            bvhp.pk_prim_map, o, d, 1e-4, 3e38, rows=4, npack=2,
+            rpl=bvhp.rpl, fused=True, stream_tris=stream, packed16=True)
+        ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+        np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                      np.asarray(ref.prim >= 0))
+        m = np.asarray(prim >= 0)
+        np.testing.assert_array_equal(np.asarray(prim)[m],
+                                      np.asarray(ref.prim)[m])
+        np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-4)
