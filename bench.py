@@ -113,12 +113,13 @@ def _closest_matches(hit, t_ref, p_ref):
 
 def kernel_check(scene, n_rays=8192):
     """Differential check of the COMPILED packet kernels (as Mosaic builds
-    them on this device) vs the dense brute-force oracles, over the six
+    them on this device) vs the dense brute-force oracles, over the eight
     production ray paths: coherent closest-hit, shadow any-hit with
     pre-culled lanes (the ~90%-of-all-rays workload,
     lighttracing.cu:290-294), sorted-incoherent closest (PT bounces),
-    rpl>1 multi-row leaves, fused node rows (the big-scene layout), and
-    the paired NEE+extension kernel.  Returns {path: "pass"|"fail"}."""
+    rpl>1 multi-row leaves, fused node rows (the big-scene layout),
+    the paired NEE+extension kernel, HBM-streamed tri rows, and packed16
+    node rows.  Returns {path: "pass"|"fail"}."""
     from evplp_tpu.accel.bvh import build_bvh
     from evplp_tpu.trace.intersect import (_any_brute_chunked,
                                            _closest_brute_chunked,
@@ -224,6 +225,27 @@ def kernel_check(scene, n_rays=8192):
     checks["streamed_tris_closest"] = bool(
         (ms == mf).all()
         and np.allclose(np.asarray(t_s)[ms], np.asarray(hitf.t)[ms],
+                        rtol=1e-5))
+
+    # 8: packed16 node rows (16 nodes per 128-lane row + pltpu.roll fetch,
+    # the >3.2M layout) + streamed tri rows on the same geometry
+    bvhp16, _p16 = build_bvh(v0[real], v1[real], v2[real], leaf_size=42,
+                             pack=True, fused_nodes=True, packed_nodes=True)
+    if cpu:
+        p3mod.set_interpret(True)
+    try:
+        t_p, p_p, _, _ = p3mod.packet3_trace(
+            bvhp16.pk_tri_rows, bvhp16.pk_meta, bvhp16.pk_bounds,
+            None if bvhp16.slot_order else bvhp16.pk_prim_map,
+            o, d, 1e-4, 3.0e38, rpl=bvhp16.rpl, fused=True,
+            stream_tris=True, packed16=True)
+    finally:
+        if cpu:
+            p3mod.set_interpret(False)
+    mp = np.asarray(p_p) >= 0
+    checks["packed16_streamed_closest"] = bool(
+        (mp == mf).all()
+        and np.allclose(np.asarray(t_p)[mp], np.asarray(hitf.t)[mp],
                         rtol=1e-5))
 
     # 6: paired NEE+extension trace (PT's per-vertex fused dispatch):
