@@ -457,7 +457,7 @@ def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
         packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
         packed[:, 8:11], packed[:, 11], packed[:, 12],
         rows=SORTED_ROWS, npack=SORTED_NPACK, rpl=bvh.rpl,
-        fused=bvh.fused_nodes, stream_tris=stream)
+        fused=bvh.fused_nodes, stream_tris=stream, packed16=bvh.packed16)
 
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(r, dtype=perm.dtype))
@@ -481,10 +481,7 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)
-            and not bvh.packed16):
-        # (packed16 giant scenes: the pair kernel has no 16-per-row node
-        # fetch yet — two separate streamed dispatches below instead)
+    if (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS and _use_packet(tris, bvh)):
         db = seg_to - o
         tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
         if seg_live is not None:
@@ -521,9 +518,8 @@ def occluded_segment_pair(tris: Triangles, bvh: BVH, p_from, to_a, to_b,
     tmax_b = jnp.full((r,), one) if live_b is None else \
         jnp.where(live_b, one, jnp.float32(0.0))
     if (tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
-            or not _use_packet(tris, bvh) or bvh.packed16):
-        # off the packet path (or packed16 giant scenes — no pair-kernel
-        # support yet): two separate dispatches, same results
+            or not _use_packet(tris, bvh)):
+        # off the packet path: two separate dispatches, same results
         occ_a = intersect_any(tris, bvh, p_from, da, t_min=eps,
                               t_max=tmax_a, leaf_size=leaf_size,
                               tile_shape=tile_shape)
@@ -557,7 +553,8 @@ def occluded_segment_pair(tris: Triangles, bvh: BVH, p_from, to_a, to_b,
         bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
         o, da_, tmin, tmax_a, db_, tmin, tmax_b,
         rows=64, npack=2, rpl=bvh.rpl, fused=bvh.fused_nodes,
-        a_any_hit=True, stream_tris=_stream_tris(tris, bvh))
+        a_any_hit=True, stream_tris=_stream_tris(tris, bvh),
+        packed16=bvh.packed16)
     occ_a = pa >= 0
     if sw:
         occ_a = _unswizzle(occ_a, ht, w)[:r]

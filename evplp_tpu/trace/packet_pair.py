@@ -46,7 +46,7 @@ def set_interpret(interpret: bool) -> None:
 
 def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
             fused: bool = False, a_any_hit: bool = False,
-            stream: bool = False):
+            stream: bool = False, packed16: bool = False):
     """a_any_hit: ray A is an occlusion segment too (the dual-segment VPL
     shape — two records gathered per lane from one pixel origin): A's bound
     stays fixed at tmaxa, lanes retire on first hit, and the packet exits
@@ -76,6 +76,14 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                 tri_ref.at[pl.ds(row, rpl)],
                 tri_s.at[pl.ds((k * QCAP + q) * rpl, rpl)],
                 tri_sem.at[k * QCAP + q])
+
+        def _node_row(n):
+            # packed16: 16 nodes per 128-lane row (see packet3._node_row)
+            if not packed16:
+                return bounds_s[n, :]
+            raw = bounds_s[n >> 4, :]
+            base = (n & 15) * 8
+            return pltpu.roll(raw, shift=(128 - base) & 127, axis=0)
         # scene residency: DMA once at grid step 0 (scratch persists)
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -276,8 +284,8 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                 if fused:
                     right = w1s[k] >> 2
                     axis = w1s[k] & 3
-                    row_l = bounds_s[left, :]
-                    row_r = bounds_s[jnp.maximum(right, 0), :]
+                    row_l = _node_row(left)
+                    row_r = _node_row(jnp.maximum(right, 0))
                     ml = _meta_words(row_l)
                     mr = _meta_words(row_r)
                     wl = slab(k, row_l)
@@ -419,7 +427,7 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
         zero = jnp.int32(0)
         zeros = tuple(zero for _ in range(npack))
         if fused:
-            w0r, w1r = _meta_words(bounds_s[0, :])
+            w0r, w1r = _meta_words(_node_row(0))
             init = (zeros, zeros, zeros,
                     tuple(w0r for _ in range(npack)),
                     tuple(w1r for _ in range(npack)))
@@ -431,12 +439,14 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
 
 
 @partial(jax.jit, static_argnames=("rows", "npack", "rpl", "sync_pack",
-                                   "fused", "a_any_hit", "stream_tris"))
+                                   "fused", "a_any_hit", "stream_tris",
+                                   "packed16"))
 def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
                       da, t_min_a, t_max_a, db, t_min_b, t_max_b,
                       rows: int = 32, npack: int = 2, rpl: int = 1,
                       sync_pack: bool = True, fused: bool = False,
-                      a_any_hit: bool = False, stream_tris: bool = False):
+                      a_any_hit: bool = False, stream_tris: bool = False,
+                      packed16: bool = False):
     """Fused closest(A) + any-hit(B) trace from shared origins.
 
     Returns (t, prim, u, v, occ): prim mapped to original triangle ids
@@ -480,7 +490,8 @@ def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
                    if stream_tris else
                    pltpu.VMEM(tri_rows.shape, tri_rows.dtype))
     t, slot, u, v, occ_slot = pl.pallas_call(
-        _kernel(npack, rows, rpl, sync_pack, fused, a_any_hit, stream_tris),
+        _kernel(npack, rows, rpl, sync_pack, fused, a_any_hit, stream_tris,
+                packed16),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 13,
         out_specs=[ray_spec] * 5,

@@ -341,3 +341,35 @@ def test_lvc_gather_pairing_matches(monkeypatch):
     paired = run(True)
     np.testing.assert_allclose(paired, base, rtol=2e-5, atol=1e-7)
     assert base.any()
+
+
+def test_pair_packed16_matches():
+    """packed16 node rows through the pair kernel (both ray modes,
+    streamed) vs the plain fused layout."""
+    tris, bvh = _scene(n=311, seed=2, leaf_size=42, fused_nodes=True)
+    v0 = np.asarray(tris.v0)
+    v1 = v0 + np.asarray(tris.e1)
+    v2 = v0 + np.asarray(tris.e2)
+    bvhp, _ = build_bvh(v0, v1, v2, leaf_size=42, pack=True,
+                        fused_nodes=True, packed_nodes=True)
+    o, da, seg_to = _pair_rays(r=300, seed=9)
+    r = o.shape[0]
+    db = seg_to - o
+    tmin = jnp.full((r,), 1e-4)
+    tmax_b = jnp.full((r,), 1.0 - 1e-4)
+
+    for a_any in (False, True):
+        ta = jnp.full((r,), 1.0 - 1e-4) if a_any else jnp.full((r,), 3e38)
+        base = packet_pair.packet_pair_trace(
+            bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+            o, da, tmin, ta, db, tmin, tmax_b, rows=4, npack=2,
+            rpl=bvh.rpl, fused=True, a_any_hit=a_any)
+        p16 = packet_pair.packet_pair_trace(
+            bvhp.pk_tri_rows, bvhp.pk_meta, bvhp.pk_bounds,
+            bvhp.pk_prim_map, o, da, tmin, ta, db, tmin, tmax_b,
+            rows=4, npack=2, rpl=bvhp.rpl, fused=True, a_any_hit=a_any,
+            stream_tris=True, packed16=True)
+        np.testing.assert_array_equal(np.asarray(base[1] >= 0),
+                                      np.asarray(p16[1] >= 0))
+        np.testing.assert_array_equal(np.asarray(base[4]),
+                                      np.asarray(p16[4]))
