@@ -40,9 +40,12 @@ from evplp_tpu.scene.textures import fetch_hit_shading
 from evplp_tpu.trace.intersect import (Hit, closest_and_segment,
                                        intersect_closest, occluded_segment)
 
-# A/B toggle: 1 = fused NEE+extension pair trace per vertex (default);
-# 0 = the round-2 formulation (separate sorted dispatches per trace).
-PT_PAIR = _os.environ.get("EVPLP_PT_PAIR", "1") not in ("0", "")
+# A/B toggle: 1 = fused NEE+extension pair trace per vertex;
+# 0 = separate sorted dispatches per trace (default — measured on TPU
+# v5e: the pair kernel wins only 1.08x at kernel level and is neutral at
+# frame level on bounce vertices, while pairing the first vertex LOSES
+# ~84 ms/frame vs its coherent tile NEE; see NOTES.md round-3 A/B log).
+PT_PAIR = _os.environ.get("EVPLP_PT_PAIR", "0") not in ("0", "")
 # First-vertex variant: its NEE segments are SCREEN-coherent (gbuffer
 # order), so tile packets may beat riding the sorted pair — 0 keeps the
 # tile NEE + separate sorted extension trace at vertex 0.

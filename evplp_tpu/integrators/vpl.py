@@ -37,7 +37,11 @@ from evplp_tpu.trace.intersect import occluded_segment, occluded_segment_pair
 # A/B: trace shadow segments TWO records per lane (Morton-sorted records
 # paired by adjacency; one fused walk per pixel tile covers ~the union of
 # two coherent segment sets — halves the dispatch count of the frame's
-# dominant workload).  Off until the on-TPU A/B lands a number.
+# dominant workload).  MEASURED ON TPU v5e AND REJECTED: 0.69x of the
+# single-segment path (837 vs 573 ms per 128M segments at 147k tris) —
+# two records per lane roughly doubles each packet's node working set,
+# and the walk cost tracks that union (same finding as the fat-leaf
+# sweep).  Kept as a tested alternate; see NOTES.md round-3 A/B log.
 VPL_PAIR = _os.environ.get("EVPLP_VPL_PAIR", "0") not in ("0", "")
 
 

@@ -98,12 +98,15 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
         def _node_row(n):
             """A node's 8-lane bounds(+meta) row.  packed16: 16 nodes
             share one 128-lane VMEM row — fetch row n>>4 and rotate the
-            node's lanes to 0-7 (pltpu.roll takes a traced shift)."""
+            node's lanes to 0-7 (pltpu.roll takes a traced shift).
+            The rotate must be 2-D: Mosaic's tpu.dynamic_rotate rejects
+            1-D vectors ("Unsupported 1D shape"), so fetch a (1, 128)
+            block, rotate along lanes, and take row 0."""
             if not packed16:
                 return bounds_s[n, :]
-            raw = bounds_s[n >> 4, :]
+            raw = bounds_s[pl.ds(n >> 4, 1), :]        # (1, 128)
             base = (n & 15) * 8
-            return pltpu.roll(raw, shift=(128 - base) & 127, axis=0)
+            return pltpu.roll(raw, shift=(128 - base) & 127, axis=1)[0]
 
         # scene residency: the bounds/meta (and, unless streaming, tri)
         # arrays live in HBM (ANY) and are DMA'd into VMEM scratch ONCE at

@@ -78,12 +78,13 @@ def _kernel(npack: int, rows: int, rpl: int = 1, sync_pack: bool = True,
                 tri_sem.at[k * QCAP + q])
 
         def _node_row(n):
-            # packed16: 16 nodes per 128-lane row (see packet3._node_row)
+            # packed16: 16 nodes per 128-lane row; 2-D rotate — Mosaic's
+            # dynamic_rotate rejects 1-D vectors (see packet3._node_row)
             if not packed16:
                 return bounds_s[n, :]
-            raw = bounds_s[n >> 4, :]
+            raw = bounds_s[pl.ds(n >> 4, 1), :]        # (1, 128)
             base = (n & 15) * 8
-            return pltpu.roll(raw, shift=(128 - base) & 127, axis=0)
+            return pltpu.roll(raw, shift=(128 - base) & 127, axis=1)[0]
         # scene residency: DMA once at grid step 0 (scratch persists)
         @pl.when(pl.program_id(0) == 0)
         def _():
