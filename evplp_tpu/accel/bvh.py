@@ -341,7 +341,7 @@ def _pack_for_packet(nmin, nmax, skip, first, count, v0p, v1p, v2p,
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               leaf_size: int = LEAF_SIZE, pack: bool | None = None,
               slot_order: bool = False, fused_nodes: bool = False,
-              packed_nodes: bool = False):
+              packed_nodes: bool | None = None):
     """Build and flatten. Returns (BVH, order) — per-triangle arrays must
     be built as X[order[i]] (order[i] == -1: padding row, use a degenerate
     default).  Without slot_order, `order` is the classic leaf permutation.
@@ -382,6 +382,16 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               np.zeros((1, 8), np.float32), np.full((8,), -1, np.int32))
 
     pk_bounds = pk[2]
+    if packed_nodes is None:
+        # Auto: the trace dispatch (intersect._use_packet) compares the
+        # PADDED slot count against its caps, so the layout decision must
+        # use the same number — deciding on the raw triangle count left a
+        # band (raw < STREAM_CAP < padded) where neither the streamed nor
+        # the packed16 packet path applied and 100M-ray workloads fell to
+        # the vmapped traversal (whose materialized broadcasts OOM HBM).
+        from evplp_tpu.trace.intersect import STREAM_CAP
+        packed_nodes = bool(pack and fused_nodes
+                            and pk[3].shape[0] > STREAM_CAP)
     if pack and packed_nodes:
         assert fused_nodes, "packed_nodes requires fused_nodes"
         n = pk_bounds.shape[0]

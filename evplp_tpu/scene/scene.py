@@ -158,10 +158,13 @@ def build_scene(
     # fused_nodes): half the per-node VMEM, ceiling ~1.6M triangles,
     # throughput parity (leaf-size sweep measured flat on v5e).
     big = v0.shape[0] > 280_000
-    huge = v0.shape[0] > 3_200_000   # past the streamed node-bound ceiling
+    # packed_nodes=None: build_bvh auto-selects the packed16 node layout
+    # from the PADDED slot count vs the streamed node-bound ceiling (the
+    # same number the trace dispatch checks — a raw-count threshold here
+    # left a padding-inflation band with no usable packet path)
     bvh, order = build_bvh(v0, v1, v2, slot_order=True,
                            leaf_size=42 if big else 14, fused_nodes=big,
-                           packed_nodes=huge)
+                           packed_nodes=None)
     valid = order >= 0
     oi = np.maximum(order, 0)
 

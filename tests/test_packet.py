@@ -332,3 +332,38 @@ def test_packet3_packed16_nodes_matches_oracle():
                                       np.asarray(ref.prim)[m])
         np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
                                    rtol=1e-4)
+
+
+def test_packed16_auto_selection_uses_padded_slot_count(monkeypatch):
+    """Regression: the packed16 auto-choice must key on the PADDED slot
+    count (what intersect's caps compare against), not the raw triangle
+    count — a raw-count threshold left a padding-inflation band with no
+    usable packet path, and the vmapped fallback's materialized
+    broadcasts OOM'd HBM at gather scale (killed the TPU worker)."""
+    from evplp_tpu.trace import intersect as it
+    tris, _ = _scene(n=311, seed=2)
+    v0 = np.asarray(tris.v0)
+    v1 = v0 + np.asarray(tris.e1)
+    v2 = v0 + np.asarray(tris.e2)
+
+    # raw count below the (patched) cap, padded slot count above it
+    bvh_ref, _ = build_bvh(v0, v1, v2, leaf_size=42, pack=True,
+                           fused_nodes=True, packed_nodes=False)
+    padded = int(bvh_ref.pk_prim_map.shape[0])
+    assert padded > v0.shape[0]
+    monkeypatch.setattr("evplp_tpu.trace.intersect.STREAM_CAP",
+                        (v0.shape[0] + padded) // 2)
+
+    bvh_auto, _ = build_bvh(v0, v1, v2, leaf_size=42, pack=True,
+                            fused_nodes=True, packed_nodes=None)
+    assert bvh_auto.packed16, \
+        "auto packed16 must trigger when the padded slot count exceeds " \
+        "the streamed cap even though the raw triangle count does not"
+    # and the dispatch accepts the scene on the packet path
+    monkeypatch.setattr("evplp_tpu.trace.intersect.STREAM_TRIS", "1")
+    tris_pad = Triangles(
+        v0=jnp.zeros((padded, 3)), e1=jnp.zeros((padded, 3)),
+        e2=jnp.zeros((padded, 3)), n=jnp.zeros((padded, 3)))
+    assert it._stream_tris(tris_pad, bvh_auto)
+    cap = it.PACKED16_CAP if bvh_auto.packed16 else it.STREAM_CAP
+    assert padded <= cap
