@@ -70,13 +70,31 @@ def parse_mtl(path: str) -> dict[str, ObjMaterial]:
     return mats
 
 
-def load_obj(path: str):
+def load_obj(path: str, native: str | None = None):
     """Returns (meshes: list[ObjMesh], materials: list[ObjMaterial]).
 
     Vertices are de-indexed per (position, texcoord) pair per mesh; faces are
     fan-triangulated.  A default black material occupies slot 0 (Assimp's
     DefaultMaterial behavior, rtcommon.h:757).
+
+    The hot parse runs in the native C++ loader (native/obj_loader.cpp —
+    the framework's equivalent of the reference's native Assimp import,
+    rtcommon.h:644-770; a ~1M-triangle mesh parses in ~1.3 s vs ~35 s in
+    this Python loop).  `native`/EVPLP_NATIVE_OBJ: "auto"
+    (default — fall back here if compilation is unavailable), "1" (require
+    native), "0" (force the Python path).
     """
+    native = native if native is not None \
+        else os.environ.get("EVPLP_NATIVE_OBJ", "auto")
+    if native != "0":
+        try:
+            from evplp_tpu.native import obj_native
+            return obj_native.load(path)
+        except FileNotFoundError:
+            raise
+        except Exception:
+            if native == "1":
+                raise
     positions: list[list[float]] = []
     texcoords: list[list[float]] = []
     materials: list[ObjMaterial] = [ObjMaterial(name="__default__")]
