@@ -91,15 +91,19 @@ def _vertex_traces(scene, position, direction, ext_active, l_pos, surface,
                    shadow_eps, tile_shape, pair=True):
     """Trace a vertex's extension ray (closest) + NEE segment (any-hit).
 
-    PT_PAIR: one fused dispatch through one sort permutation; otherwise the
-    separate-dispatch formulation (identical results — the pair kernel
-    computes the same intersections)."""
+    Bounce vertices (tile_shape None) share ONE sort permutation between
+    the two traces (both originate at the vertex): two dispatches by
+    default, or one fused kernel walk with PT_PAIR (measured
+    frame-neutral).  The first vertex keeps its SCREEN-coherent tile NEE
+    + a separate sorted extension trace (riding the sorted pair measured
+    84 ms/frame worse — NOTES.md A/B log) unless PT_PAIR & PT_PAIR_FIRST.
+    All formulations compute identical intersections."""
     t_max = jnp.where(ext_active, jnp.float32(3.0e38), jnp.float32(0.0))
-    if PT_PAIR and pair:
+    if (PT_PAIR and pair) or tile_shape is None:
         return closest_and_segment(
             scene.tris, scene.bvh, position, direction,
             t_min=1e-5, t_max=t_max, seg_to=l_pos, seg_eps=shadow_eps,
-            seg_live=surface)
+            seg_live=surface, fused_kernel=PT_PAIR)
     hit = intersect_closest(scene.tris, scene.bvh, position, direction,
                             t_min=1e-5, t_max=t_max, sort_rays=True)
     occluded = occluded_segment(scene.tris, scene.bvh, l_pos, position,

@@ -419,6 +419,60 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
     return out[:, 0], prim[inv], out[:, 1], out[:, 2]
 
 
+def _shared_sort_key(bvh: BVH, o, da, dead):
+    """(octant(da) | origin cell) sort key with dead lanes sent to the
+    tail — the shared-permutation front end of _sorted_pair_trace /
+    _sorted_shared_trace (identical key math to _sorted_packet_trace)."""
+    lo = bvh.node_min[0]
+    inv_ext = 1.0 / jnp.maximum(bvh.node_max[0] - lo, 1e-6)
+    bits = SORT_BITS
+    cell = jnp.clip(((o - lo) * inv_ext * (1 << bits)).astype(jnp.int32),
+                    0, (1 << bits) - 1)
+    octant = ((da[:, 0] < 0).astype(jnp.int32) * 4
+              + (da[:, 1] < 0).astype(jnp.int32) * 2
+              + (da[:, 2] < 0).astype(jnp.int32))
+    code = ((cell[:, 0] << (2 * bits)) | (cell[:, 1] << bits)
+            | cell[:, 2])
+    key = (octant << (3 * bits)) | code
+    return jnp.where(dead, jnp.int32(1) << 20, key)
+
+
+def _sorted_shared_trace(bvh: BVH, o, da, t_min_a, t_max_a,
+                         db, t_min_b, t_max_b, stream: bool = False):
+    """Shared-permutation closest(A) + any-hit(B) as TWO separate packet
+    dispatches (PT's per-vertex extension + NEE segment, which share an
+    origin; the fused single-dispatch variant is _sorted_pair_trace,
+    measured frame-neutral and off by default — NOTES.md A/B log).
+
+    One key + argsort + packed (R, 13) row gather + inverse permutation
+    serve both traces (~25-30 ms/1M rays of permutation machinery saved
+    per vertex vs two independent _sorted_packet_trace calls).  The B
+    segments ride A's (octant, origin-cell) order: within an origin cell
+    every segment points at the one area light, so their own octant term
+    is nearly constant and the B packets stay working-set-coherent."""
+    r = o.shape[0]
+    # only lanes dead for BOTH rays join the all-dead tail packets; a
+    # lane dead for one ray is an empty interval in that trace (free)
+    dead = (t_max_a <= t_min_a) & (t_max_b <= t_min_b)
+    perm = jnp.argsort(_shared_sort_key(bvh, o, da, dead), stable=True)
+
+    packed = jnp.concatenate(
+        [o, da, t_min_a[:, None], t_max_a[:, None],
+         db, t_min_b[:, None], t_max_b[:, None]], axis=1)[perm]
+    t, prim, u, v = _packet_trace(
+        bvh, packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
+        False, None, sorted_shape=True, stream=stream)
+    _, prim_b, _, _ = _packet_trace(
+        bvh, packed[:, 0:3], packed[:, 8:11], packed[:, 11], packed[:, 12],
+        True, None, sorted_shape=True, stream=stream)
+
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(r, dtype=perm.dtype))
+    out = jnp.stack([t, u, v], axis=1)[inv]
+    ints = jnp.stack([prim, (prim_b >= 0).astype(jnp.int32)], axis=1)[inv]
+    return out[:, 0], ints[:, 0], out[:, 1], out[:, 2], ints[:, 1] > 0
+
+
 def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
                        db, t_min_b, t_max_b, stream: bool = False):
     """Shared-sort fused closest(A)+any-hit(B) trace (see packet_pair.py).
@@ -430,22 +484,9 @@ def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
     argsort + gather/scatter pipeline (~35 ms/1M rays) AND a kernel
     dispatch sequence vs two separate sorted traces."""
     r = o.shape[0]
-    lo = bvh.node_min[0]
-    inv_ext = 1.0 / jnp.maximum(bvh.node_max[0] - lo, 1e-6)
-
-    bits = SORT_BITS
-    cell = jnp.clip(((o - lo) * inv_ext * (1 << bits)).astype(jnp.int32),
-                    0, (1 << bits) - 1)
-    octant = ((da[:, 0] < 0).astype(jnp.int32) * 4
-              + (da[:, 1] < 0).astype(jnp.int32) * 2
-              + (da[:, 2] < 0).astype(jnp.int32))
-    code = ((cell[:, 0] << (2 * bits)) | (cell[:, 1] << bits)
-            | cell[:, 2])
-    key = (octant << (3 * bits)) | code
     # only lanes dead for BOTH rays go to the all-dead tail packets
     dead = (t_max_a <= t_min_a) & (t_max_b <= t_min_b)
-    key = jnp.where(dead, jnp.int32(1) << 20, key)
-    perm = jnp.argsort(key, stable=True)
+    perm = jnp.argsort(_shared_sort_key(bvh, o, da, dead), stable=True)
 
     packed = jnp.concatenate(
         [o, da, t_min_a[:, None], t_max_a[:, None],
@@ -466,18 +507,20 @@ def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
     return out[:, 0], ints[:, 0], out[:, 1], out[:, 2], ints[:, 1] > 0
 
 
-@partial(jax.jit, static_argnames=("leaf_size",))
+@partial(jax.jit, static_argnames=("leaf_size", "fused_kernel"))
 def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
                         seg_to, seg_eps: float = 1e-5, seg_live=None,
-                        leaf_size: int = 8):
+                        leaf_size: int = 8, fused_kernel: bool = False):
     """Paired trace for PT's per-vertex workload: closest hit along d AND
     occlusion of the segment o -> seg_to (reference: the two rtTrace calls
     per vertex, pathtracing.cu:112-228 + 290-294), sharing one origin.
 
-    On the packet path both rays ride ONE fused kernel walk over ~the
-    union of their BVH working sets; elsewhere this is exactly
-    intersect_closest + occluded_segment (same results, same semantics:
-    seg_live=False segments are not traced and report True)."""
+    On the packet path one sort permutation serves both ray sets
+    (_sorted_shared_trace); fused_kernel=True additionally rides both
+    rays through ONE kernel walk (_sorted_pair_trace — measured
+    frame-neutral, kept as the tested alternate).  Elsewhere this is
+    exactly intersect_closest + occluded_segment (same results, same
+    semantics: seg_live=False segments are not traced and report True)."""
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -486,7 +529,8 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
         tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
         if seg_live is not None:
             tmax_b = jnp.where(seg_live, tmax_b, 0.0)
-        t, prim, u, v, occ = _sorted_pair_trace(
+        trace = _sorted_pair_trace if fused_kernel else _sorted_shared_trace
+        t, prim, u, v, occ = trace(
             bvh, o, d, t_min, t_max,
             db, jnp.full((r,), seg_eps, jnp.float32), tmax_b,
             stream=_stream_tris(tris, bvh))

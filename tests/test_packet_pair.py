@@ -135,6 +135,48 @@ def test_sorted_pair_trace_matches_separate():
                                   np.asarray(occ_r)[live_b])
 
 
+def test_sorted_shared_trace_matches_oracles():
+    """The shared-permutation TWO-dispatch path (the PT bounce-vertex
+    default: one argsort serves the extension closest trace AND the NEE
+    any-hit trace) matches the brute oracles on every live lane, with
+    independently dead A/B lanes mixed in."""
+    from evplp_tpu.trace import intersect as isect
+    from evplp_tpu.trace import packet3
+
+    packet3.set_interpret(True)
+    try:
+        tris, bvh = _scene(n=311, seed=31)
+        o, da, seg_to = _pair_rays(r=500, seed=32)
+        r = o.shape[0]
+        idx = np.arange(r)
+        tmin_a = jnp.full((r,), 1e-5)
+        tmax_a = jnp.where(jnp.asarray(idx % 5 == 0), 0.0, 3e38)
+        db = seg_to - o
+        tmin_b = jnp.full((r,), 1e-4)
+        tmax_b = jnp.where(jnp.asarray(idx % 7 == 0), 0.0, 1.0 - 1e-4)
+
+        t, prim, u, v, occ = isect._sorted_shared_trace(
+            bvh, o, da, tmin_a, tmax_a, db, tmin_b, tmax_b)
+
+        live_a = np.asarray(tmax_a) > 0
+        ref_a = intersect_closest_brute(tris, o, da, t_min=1e-5, t_max=3e38)
+        np.testing.assert_array_equal(np.asarray(prim)[live_a],
+                                      np.asarray(ref_a.prim)[live_a])
+        m = (np.asarray(prim) >= 0) & live_a
+        np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref_a.t)[m],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref_a.u)[m],
+                                   atol=1e-4)
+
+        live_b = np.asarray(tmax_b) > np.asarray(tmin_b)
+        ref_b = intersect_closest_brute(tris, o, db, t_min=tmin_b,
+                                        t_max=tmax_b)
+        np.testing.assert_array_equal(np.asarray(occ)[live_b],
+                                      np.asarray(ref_b.prim >= 0)[live_b])
+    finally:
+        packet3.set_interpret(False)
+
+
 def test_closest_and_segment_fallback_matches_separate():
     """Off the packet path (CPU/brute), the paired entry must equal the
     separate intersect_closest + occluded_segment calls exactly."""
