@@ -121,7 +121,7 @@ def make_fn(mode: str, iters: int, grid: int):
             cur, acc = jax.lax.fori_loop(0, iters, body, init)
         out_ref[0, 0] = acc + cur + q_ref[0] + q_ref[1]
 
-    f = pl.pallas_call(
+    pc = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -138,8 +138,18 @@ def make_fn(mode: str, iters: int, grid: int):
     )
 
     @jax.jit
-    def run(seed, nodes, rays):
-        return f(seed, nodes, rays)
+    def run(seed):
+        # inputs generated ON DEVICE: a fresh-input upload over the
+        # tunnel costs ~100 ms/2 MB and swamps the kernel (first version
+        # of this probe measured exactly that constant in every mode)
+        key = jax.random.PRNGKey(seed[0])
+        nodes = jax.random.uniform(key, (NN, LANES), jnp.float32, 0.1, 1.0)
+        idx = jax.random.randint(jax.random.fold_in(key, 1), (NN,), 0, NN)
+        nodes = nodes.at[:, 0].set(
+            jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32))
+        rays = jax.random.uniform(jax.random.fold_in(key, 2),
+                                  (ROWS, LANES), jnp.float32, 0.1, 1.0)
+        return pc(seed, nodes, rays)
 
     return run
 
@@ -149,36 +159,33 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
-    rng = np.random.default_rng(0)
     base = {}
     modes = sys.argv[4].split(",") if len(sys.argv) > 4 else (
         "empty", "add8", "mul8", "scalar", "fetch", "vector", "readout",
         "full")
     for mode in modes:
-        fn = make_fn(mode, iters, grid)
-        times = []
-        for rep in range(reps):
-            # fresh inputs per rep (tunnel result cache)
-            nodes = jnp.asarray(
-                rng.uniform(0.1, 1.0, (NN, LANES)).astype(np.float32))
-            # meta words must be valid indices: overwrite lane 0 via ints
-            idx = rng.integers(0, NN, NN).astype(np.int32)
-            nodes = nodes.at[:, 0].set(
-                jax.lax.bitcast_convert_type(jnp.asarray(idx), jnp.float32))
-            rays = jnp.asarray(
-                rng.uniform(0.1, 1.0, (ROWS, LANES)).astype(np.float32))
-            seed = jnp.asarray([rep * 7919], jnp.int32)
-            out = fn(seed, nodes, rays)
-            t0 = time.perf_counter()
-            out = fn(seed + 1, nodes, rays)
-            np.asarray(jax.device_get(out))
-            times.append(time.perf_counter() - t0)
-        med = float(np.median(times))
-        per_iter = med / (grid * iters) * 1e9
-        base[mode] = per_iter
-        extra = per_iter - base.get("scalar", 0.0)
-        print(f"{mode:8s} {med * 1e3:9.2f} ms  {per_iter:8.1f} ns/iter  "
-              f"(+{extra:7.1f} vs scalar)")
+        # two iteration counts: the SLOPE separates per-iteration cost
+        # from the fixed per-call cost (dispatch + tunnel RTT)
+        res = {}
+        for it in (iters, iters * 4):
+            fn = make_fn(mode, it, grid)
+            times = []
+            for rep in range(reps):
+                seed = jnp.asarray([rep * 7919 + it], jnp.int32)
+                out = fn(seed)   # warm the compile / distinct seed
+                np.asarray(jax.device_get(out))
+                t0 = time.perf_counter()
+                out = fn(seed + 1)
+                np.asarray(jax.device_get(out))
+                times.append(time.perf_counter() - t0)
+            res[it] = float(np.median(times))
+        slope = (res[iters * 4] - res[iters]) / (grid * iters * 3) * 1e9
+        fixed = res[iters] - slope * grid * iters * 1e-9
+        base[mode] = slope
+        extra = slope - base.get("empty", 0.0)
+        print(f"{mode:8s} {res[iters]*1e3:8.2f} / {res[iters*4]*1e3:8.2f} ms"
+              f"  slope {slope:7.1f} ns/iter  (+{extra:6.1f} vs empty)  "
+              f"fixed~{fixed*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
