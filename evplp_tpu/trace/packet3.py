@@ -39,9 +39,14 @@ QSTRIDE = QCAP + 1       # + one sacrificial dummy slot
 STACK_DEPTH = 64
 
 _COMPILED = True
-# timing probes (produce WRONG results; for perf archaeology only)
-_PROBE_SKIP_DRAIN = False    # stub out leaf drains
-_PROBE_HALF_SLAB = False     # slab-test only the first half of the rows
+# timing probes (produce WRONG results; for perf archaeology only) — read
+# from env so fresh-process bisection works (module globals don't
+# invalidate jit caches, NOTES.md)
+import os as _os
+_PROBE_SKIP_DRAIN = _os.environ.get(
+    "EVPLP_PROBE_SKIP_DRAIN", "0") == "1"   # stub out leaf drains
+_PROBE_HALF_SLAB = _os.environ.get(
+    "EVPLP_PROBE_HALF_SLAB", "0") == "1"    # slab-test half the rows
 
 
 def set_interpret(interpret: bool) -> None:

@@ -15,13 +15,22 @@ the same shape as the production body (packet3.py):
            next index (the want-mask readout dependency)
   full     two fetches + two slabs + one packed readout + SMEM
            queue/stack writes — the production body's skeleton
+  vpu      N independent (ROWS,128) f32 ops per iteration, no chain —
+           pure VPU throughput ceiling inside a pallas loop
+  pslab    production-VOLUME body: 4 full slab tests (6-ref ray block,
+           ~20 ops each) + packed readout + steering — the real
+           per-iteration vector work at npack=2
+  pwhile   pslab under lax.while_loop with a data-dependent exit
+           (the production loop construct)
+  pdrain   pwhile + a pl.when drain every ~16 iters running 14
+           Moller tests x 3 rows (production leaf volume)
 
 Per-iteration cost of each mode (minus the scalar baseline) attributes
 the floor.  Measurement per NOTES rules: fresh inputs per rep, fetch
-fences, medians over reps; grid x iters large enough that dispatch
-overhead (~ms on the tunnel) is <5%.
+fences, medians over reps; the two-point slope removes the per-call
+dispatch constant.
 
-Usage: python tools/probe_chain.py [grid] [iters] [reps]
+Usage: python tools/probe_chain.py [grid] [iters] [reps] [modes]
 """
 from __future__ import annotations
 
@@ -41,15 +50,160 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 ROWS = 64
 LANES = 128
-NN = 4096  # node rows in VMEM (4096*128*4 = 2 MB)
+NN = int(__import__("os").environ.get("PROBE_NN", "4096"))
+
+
+PBASE = 129
+PMODES = ("vpu", "pslab", "pwhile", "pdrain")
+
+
+def _production_volume(mode, iters, seed, nodes_ref, rays_ref, out_ref,
+                       q_ref, tb_ref):
+    """Bodies that carry the PRODUCTION kernel's vector volume, so the
+    measured slope is comparable with the real packet3 per-iteration cost
+    (~production: 4 slab tests/iter at npack=2, 14-tri Moller drains)."""
+    rb = rays_ref[...]
+
+    if mode == "vpu":
+        # 16 independent (ROWS, LANES) ops per iteration, 4 ILP chains:
+        # the VPU throughput ceiling inside a pallas fori loop
+        def vbody(i, carry):
+            a0, a1, a2, a3 = carry
+            for _ in range(4):
+                a0 = a0 * 1.0001 + rb
+                a1 = a1 * 0.9999 - rb
+                a2 = jnp.maximum(a2 * 1.0002, rb)
+                a3 = jnp.minimum(a3 + rb, 3e38)
+            return a0, a1, a2, a3
+        z = jnp.zeros((ROWS, LANES), jnp.float32)
+        a0, a1, a2, a3 = jax.lax.fori_loop(
+            0, iters, vbody, (z, z, z + 1.0, z))
+        s = a0[0, 0] + a1[0, 1] + a2[0, 2] + a3[0, 3]
+        out_ref[0, 0] = s.astype(jnp.int32) + q_ref[0]
+        return
+
+    tb_ref[...] = rb * 1e4 + 1.0  # "best t so far" (large)
+    ob = rb * 1.5 + 0.25          # a second ray operand (origin-like)
+
+    def pslab_test(row):
+        # production slab volume (packet3.slab): 6 sub+mul pairs, the
+        # min/max tree, 3 compares, one VMEM best-t read, sublane reduce
+        t0x = (row[0] - ob) * rb
+        t1x = (row[3] - ob) * rb
+        t0y = (row[1] - ob) * rb
+        t1y = (row[4] - ob) * rb
+        t0z = (row[2] - ob) * rb
+        t1z = (row[5] - ob) * rb
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        want = (tn <= tf) & (tf >= 0.0) & (tn <= tb_ref[...])
+        return jnp.any(want, axis=0, keepdims=True).astype(jnp.int32)
+
+    def moller(blk, j, best):
+        # production triangle test volume (packet3.row_tests)
+        b = j * 9
+        v0x, v0y, v0z = blk[b], blk[b + 1], blk[b + 2]
+        e1x, e1y, e1z = blk[b + 3], blk[b + 4], blk[b + 5]
+        e2x, e2y, e2z = blk[b + 6], blk[b + 7], blk[b + 8]
+        px = rb * e2z - ob * e2y
+        py = ob * e2x - rb * e2z
+        pz = rb * e2y - ob * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tx, ty, tz = ob - v0x, rb - v0y, ob - v0z
+        uu = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        vv = (rb * qx + ob * qy + rb * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > 0.0) & (tt < best))
+        return jnp.where(ok, tt, best)
+
+    def pbody(state):
+        i, cur, acc, qn = state
+        # phase 1: 4 child tests (npack=2 x 2 children), base-129 packed
+        # into ONE scalar readout (sync_pack), dependent pointer chase
+        parts = None
+        metas = []
+        c = cur
+        for k in range(4):
+            row = nodes_ref[c]
+            w = jax.lax.bitcast_convert_type(row, jnp.int32)
+            meta = w[0]
+            metas.append(meta)
+            wk = pslab_test(row)
+            part = wk * (PBASE ** k)
+            parts = part if parts is None else parts + part
+            c = (meta + k) & (NN - 1)
+        s_all = jnp.sum(parts)
+        # phase 2: scalar steering, dummy-slot SMEM writes (packet3 shape)
+        nxt = cur
+        for k in range(2):
+            wl = ((s_all // (PBASE ** (2 * k))) % PBASE) > 0
+            wr = ((s_all // (PBASE ** (2 * k + 1))) % PBASE) > 0
+            ml, mr = metas[2 * k], metas[2 * k + 1]
+            enq_l = wl & ((ml & 63) > 32)
+            q_ref[jnp.where(enq_l, 2 + (qn & 7), 17)] = ml >> 6
+            qn = qn + enq_l.astype(jnp.int32)
+            enq_r = wr & ((mr & 63) > 32)
+            q_ref[jnp.where(enq_r, 2 + (qn & 7), 17)] = mr >> 6
+            qn = qn + enq_r.astype(jnp.int32)
+            pos = (ml & 1) > 0
+            first = jnp.where(pos, ml, mr)
+            second = jnp.where(pos, mr, ml)
+            wf = jnp.where(pos, wl, wr)
+            ws = jnp.where(pos, wr, wl)
+            sel = jnp.where(wf, first, jnp.where(ws, second, -1))
+            push = wf & ws
+            q_ref[jnp.where(push, 10 + k, 17)] = second
+            nxt = jnp.where(sel >= 0, (nxt + sel) & (NN - 1),
+                            (nxt * 1103515245 + 12345) & (NN - 1))
+        if mode == "pdrain":
+            do_drain = qn >= 6
+
+            @pl.when(do_drain)
+            def _():
+                def entry(q, _):
+                    row = nodes_ref[q_ref[2 + (q & 7)] & (NN - 1)]
+                    best = tb_ref[...]
+                    for j in range(14):
+                        best = moller(row, j, best)
+                    tb_ref[...] = best
+                    return 0
+                jax.lax.fori_loop(0, qn, entry, 0)
+
+            qn = jnp.where(do_drain, 0, qn)
+        return i + 1, nxt, acc + s_all.astype(jnp.int32), qn
+
+    init = (jnp.int32(0), seed & (NN - 1), jnp.int32(0), jnp.int32(0))
+    if mode == "pslab":
+        _, cur, acc, qn = jax.lax.fori_loop(
+            0, iters, lambda i, st: pbody(st), init)
+    else:
+        # the production loop construct: data-dependent exit
+        _, cur, acc, qn = jax.lax.while_loop(
+            lambda st: (st[0] < iters) & (st[2] != -123457), pbody, init)
+    tb = tb_ref[0, 0].astype(jnp.int32)
+    out_ref[0, 0] = acc + cur + qn + q_ref[0] + q_ref[1] + tb
 
 
 def make_fn(mode: str, iters: int, grid: int):
-    def kernel(seed_ref, nodes_ref, rays_ref, out_ref, q_ref):
+    def kernel(seed_ref, nodes_ref, rays_ref, out_ref, q_ref, tb_ref):
         pid = pl.program_id(0)
         seed = seed_ref[0] + pid
         q_ref[0] = seed
         q_ref[1] = seed
+
+        if mode in PMODES:
+            _production_volume(mode, iters, seed, nodes_ref, rays_ref,
+                               out_ref, q_ref, tb_ref)
+            return
 
         def slab(row):
             # a slab test's worth of vector work against the ray block:
@@ -133,7 +287,8 @@ def make_fn(mode: str, iters: int, grid: int):
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((9,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((18,), jnp.int32),
+                        pltpu.VMEM((ROWS, LANES), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
     )
 
@@ -161,8 +316,8 @@ def main():
 
     base = {}
     modes = sys.argv[4].split(",") if len(sys.argv) > 4 else (
-        "empty", "add8", "mul8", "scalar", "fetch", "vector", "readout",
-        "full")
+        "empty", "scalar", "fetch", "vector", "readout", "full",
+        "vpu", "pslab", "pwhile", "pdrain")
     for mode in modes:
         # two iteration counts: the SLOPE separates per-iteration cost
         # from the fixed per-call cost (dispatch + tunnel RTT)
