@@ -476,7 +476,7 @@ def packet_pair_trace(tri_rows, meta, bounds, prim_map, o,
     grid = total_rows // block_rows
     ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.ANY)
+    full = pl.BlockSpec(memory_space=pl.ANY)
 
     out_shape = [
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32),
