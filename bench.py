@@ -118,8 +118,8 @@ def kernel_check(scene, n_rays=8192):
     pre-culled lanes (the ~90%-of-all-rays workload,
     lighttracing.cu:290-294), sorted-incoherent closest (PT bounces),
     rpl>1 multi-row leaves, fused node rows (the big-scene layout),
-    the paired NEE+extension kernel, HBM-streamed tri rows, and packed16
-    node rows.  Returns {path: "pass"|"fail"}."""
+    the shared-sort closest+segment vertex dispatch, HBM-streamed tri
+    rows, and packed16 node rows.  Returns {path: "pass"|"fail"}."""
     from evplp_tpu.accel.bvh import build_bvh
     from evplp_tpu.trace.intersect import (_any_brute_chunked,
                                            _closest_brute_chunked,
@@ -248,9 +248,9 @@ def kernel_check(scene, n_rays=8192):
         and np.allclose(np.asarray(t_p)[mp], np.asarray(hitf.t)[mp],
                         rtol=1e-5))
 
-    # 6: paired NEE+extension trace (PT's per-vertex fused dispatch):
+    # 6: shared-sort NEE+extension trace (PT's per-vertex dispatch):
     # closest along the bounce dirs + any-hit segments to the light point,
-    # shared origins, ~25% of segments pre-culled
+    # shared origins + one shared permutation, ~25% of segments pre-culled
     from evplp_tpu.trace.intersect import closest_and_segment
     seg_to = jnp.asarray(np.broadcast_to(lp, pts.shape), jnp.float32)
     hit_p, occ_p = closest_and_segment(
@@ -264,6 +264,70 @@ def kernel_check(scene, n_rays=8192):
         and (np.asarray(occ_p)[lv] == np.asarray(occ_pref)[lv]).all())
 
     return {k: ("pass" if v else "fail") for k, v in checks.items()}
+
+
+def control_shadow_ms(scene, reps: int = 6):
+    """Pinned drift-control workload (VERDICT r3 "do this" #3): a fixed-seed
+    1M-segment coherent shadow trace through the production packet kernel.
+
+    The tunnel/device drifts 2.3-2.6x between windows, localized to the
+    Pallas kernel path (NOTES.md "Tunnel drift LOCALIZED") — absolute
+    headline numbers are not comparable across rounds without a control.
+    This workload is pinned (same scene, same seed, same shapes forever);
+    BENCH reports it alongside the headline so any reader can normalize:
+    normalized = value * (control_ms / CONTROL_REF_MS).
+
+    Timing obeys the NOTES measurement rules: each rep's input depends on
+    the previous rep's OUTPUT (defeats the tunnel's result cache) and on
+    the rep index; one compile, one end fence, divide.
+    """
+    from evplp_tpu.trace.intersect import intersect_any
+
+    side = 1024
+    n = side * side
+    # raster-ordered target grid on a mid-scene plane, one shared
+    # light-point origin: the vpl_gather shape (record-major segments to
+    # screen-tile targets — spatially adjacent rays share packets)
+    lo = np.asarray(scene.bvh.node_min[0])
+    hi = np.asarray(scene.bvh.node_max[0])
+    gx, gz = np.meshgrid(np.linspace(0.05, 0.95, side, dtype=np.float32),
+                         np.linspace(0.05, 0.95, side, dtype=np.float32),
+                         indexing="ij")
+    pts = np.stack([lo[0] + gx * (hi[0] - lo[0]),
+                    np.full_like(gx, lo[1] + 0.3 * (hi[1] - lo[1])),
+                    lo[2] + gz * (hi[2] - lo[2])], axis=-1).reshape(-1, 3)
+    lp = np.asarray(scene.light.v0).reshape(-1, 3).mean(axis=0)
+    o = jnp.asarray(np.broadcast_to(lp, pts.shape).astype(np.float32))
+    d = jnp.asarray(pts) - o
+
+    @jax.jit
+    def step(carry):
+        prev, i = carry
+        # rep-dependent + output-dependent origin jitter: inputs differ
+        # every rep and chain through device results
+        off = (jnp.float32(1e-6) * i
+               + jnp.float32(1e-9) * prev.sum().astype(jnp.float32))
+        occ = intersect_any(scene.tris, scene.bvh, o + off, d,
+                            t_min=1e-4, t_max=1.0 - 1e-4,
+                            tile_shape=(side, side))
+        return occ.astype(jnp.float32), i + jnp.float32(1.0)
+
+    carry = (jnp.zeros((n,), jnp.float32), jnp.float32(0.0))
+    carry = step(carry)                          # compile + warm
+    np.asarray(jax.device_get(carry[0][0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        carry = step(carry)
+    np.asarray(jax.device_get(carry[0][0]))      # completion fence
+    elapsed = time.perf_counter() - t0
+    return elapsed / reps * 1000.0               # ms per 1M segments
+
+
+# Pinned reference value for the control workload (ms per 1M segments),
+# measured 10.67/10.82/10.83 in the round-4 build session (2026-08-19,
+# fast window) on TPU v5e.  NEVER update this constant without renaming
+# the metric: cross-round normalization depends on it staying fixed.
+CONTROL_REF_MS = 10.8
 
 
 def live_segment_fraction(scene):
@@ -302,6 +366,7 @@ def main():
         if big.bvh.slot_order else int(big.tris.v0.shape[0])
     check = kernel_check(big)
     live_frac = live_segment_fraction(big)
+    ctrl_ms = control_shadow_ms(big)
 
     mrays_big, ms_big, frames_big, dropped_big = evplp_rate(big)
 
@@ -382,6 +447,12 @@ def main():
         "value": round(mrays_big, 2),
         "unit": "Mray/s",
         "vs_baseline": round(mrays_big / BASELINE_MRAYS, 3),
+        # pinned drift control: same workload forever; normalize headlines
+        # across rounds as value * control_ms / control_ref_ms
+        "control_shadow_ms_per_mseg": round(ctrl_ms, 2),
+        "control_ref_ms_per_mseg": CONTROL_REF_MS,
+        "normalized_mrays_per_sec": round(
+            mrays_big * ctrl_ms / CONTROL_REF_MS, 2),
         "scene_tris": n_tris,
         "frames": frames_big,
         "ms_per_frame": round(ms_big, 1),

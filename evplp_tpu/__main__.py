@@ -33,13 +33,27 @@ def main(argv=None):
     ap.add_argument("--checkpoint-every", type=int, default=50)
     ap.add_argument("--resume", default=None,
                     help="resume from a checkpoint file")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="run pixel-row-sharded over the first N devices "
+                         "(jax.sharding.Mesh; light blocks ring-rotate — "
+                         "parallel/shard.py).  Requires N visible devices "
+                         "and resY %% N == 0")
     args = ap.parse_args(argv)
 
     import os
+
+    import jax
     platform = os.environ.get("EVPLP_PLATFORM")
     if platform:  # e.g. EVPLP_PLATFORM=cpu (the axon plugin pins jax to TPU)
-        import jax
         jax.config.update("jax_platforms", platform)
+    # persistent compile cache: the reference's timeLimitMs clock excludes
+    # its setup-time PTX compile (rtpt2.h / rtcomphoton.h); ours excludes
+    # the warm-up frame too (loop.py), and the cache makes repeat CLI runs
+    # skip the multi-minute tunnel compile entirely
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/evplp_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from evplp_tpu.runtime.render import render_config
 
@@ -59,6 +73,9 @@ def main(argv=None):
     if "pt" in cfg:
         kwargs = {"max_wall_s": args.max_wall_s,
                   "display_gamma": args.gamma}
+    if args.mesh:
+        from evplp_tpu.parallel.shard import make_mesh
+        kwargs["mesh"] = make_mesh(args.mesh)
 
     result = render_config(args.config, output_dir=args.output_dir, **kwargs)
     print(json.dumps({

@@ -10,7 +10,6 @@ gather per scan step.
 """
 from __future__ import annotations
 
-import os as _os
 from functools import partial
 
 import jax
@@ -21,10 +20,7 @@ from evplp_tpu.core import mathutil as mu
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.integrators.light_trace import FLAG_VPL, PhotonMap
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.trace.intersect import occluded_segment, occluded_segment_pair
-
-# shares vpl.py's A/B env: dual-record shadow segments per lane
-SEG_PAIR = _os.environ.get("EVPLP_VPL_PAIR", "0") not in ("0", "")
+from evplp_tpu.trace.intersect import occluded_segment
 
 
 def _lvc_pre(gbuf, rec):
@@ -41,8 +37,8 @@ def _lvc_contribution(scene, gbuf, rec, mis_mode, pdf_mc, clamping_value,
                       wi10, tile_shape=None, pre=None, occ=None):
     """vplSplat math with PER-PIXEL records (all rec fields are (N, ...)).
 
-    pre/occ: precomputed cull + occlusion (the paired-segment path trades
-    two records through one fused walk); traced here when absent."""
+    pre/occ: optional precomputed cull + occlusion; traced here when
+    absent."""
     v12 = rec["pos"] - gbuf.position
     ucos1 = jnp.maximum(mu.dot(gbuf.normal, v12), 0.0)
     ucos2 = jnp.maximum(-mu.dot(rec["normal"], v12), 0.0)
@@ -133,37 +129,5 @@ def lvc_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
     ii = jnp.repeat(jnp.arange(num_vpl_paths, dtype=jnp.int32), b)
     jj = jnp.tile(jnp.arange(b, dtype=jnp.int32), num_vpl_paths)
     acc0 = jnp.zeros_like(gbuf.position)
-    total = num_vpl_paths * b
-    if SEG_PAIR and total % 2 == 0:
-        # two consecutive records (adjacent vertices of the same light
-        # path) per scan step through one fused dual-segment walk —
-        # see vpl.py VPL_PAIR / trace.intersect.occluded_segment_pair
-        def fetch(i, j):
-            path = (offset + i) % num_paths
-            ridx = path * b + j
-            return {k: v[ridx] for k, v in fields.items()}
-
-        def pair_step(acc, ij2):
-            i0, j0, i1, j1 = ij2
-            rec0 = fetch(i0, j0)
-            rec1 = fetch(i1, j1)
-            pre0 = _lvc_pre(gbuf, rec0)
-            pre1 = _lvc_pre(gbuf, rec1)
-            occ0, occ1 = occluded_segment_pair(
-                scene.tris, scene.bvh, gbuf.position, rec0["pos"],
-                rec1["pos"], eps=1e-4, live_a=pre0, live_b=pre1,
-                tile_shape=tile_shape)
-            acc = acc + _lvc_contribution(
-                scene, gbuf, rec0, mis_mode, pdf_mc, clamping_value, wi10,
-                pre=pre0, occ=occ0)
-            acc = acc + _lvc_contribution(
-                scene, gbuf, rec1, mis_mode, pdf_mc, clamping_value, wi10,
-                pre=pre1, occ=occ1)
-            return acc, None
-
-        acc, _ = jax.lax.scan(
-            pair_step, acc0,
-            (ii[0::2], jj[0::2], ii[1::2], jj[1::2]))
-    else:
-        acc, _ = jax.lax.scan(step, acc0, (ii, jj))
+    acc, _ = jax.lax.scan(step, acc0, (ii, jj))
     return acc / float(num_vpl_paths)

@@ -18,14 +18,12 @@ the reference exactly:
 
 Trace scheduling: the loop is organized per VERTEX, not per trace — at each
 vertex the NEE shadow segment and the sampled extension ray share an origin,
-so both ride ONE fused packet-kernel dispatch through one shared sort
-permutation (trace.intersect.closest_and_segment; the reference's two
-rtTrace calls per vertex).  RNG consumption is identical to the per-trace
-formulation: all of vertex v's decisions draw from fold_in(key, v).
+so both ride ONE shared sort permutation
+(trace.intersect.closest_and_segment; the reference's two rtTrace calls per
+vertex).  RNG consumption is identical to the per-trace formulation: all of
+vertex v's decisions draw from fold_in(key, v).
 """
 from __future__ import annotations
-
-import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -39,17 +37,6 @@ from evplp_tpu.scene.scene import SceneData
 from evplp_tpu.scene.textures import fetch_hit_shading
 from evplp_tpu.trace.intersect import (Hit, closest_and_segment,
                                        intersect_closest, occluded_segment)
-
-# A/B toggle: 1 = fused NEE+extension pair trace per vertex;
-# 0 = separate sorted dispatches per trace (default — measured on TPU
-# v5e: the pair kernel wins only 1.08x at kernel level and is neutral at
-# frame level on bounce vertices, while pairing the first vertex LOSES
-# ~84 ms/frame vs its coherent tile NEE; see NOTES.md round-3 A/B log).
-PT_PAIR = _os.environ.get("EVPLP_PT_PAIR", "0") not in ("0", "")
-# First-vertex variant: its NEE segments are SCREEN-coherent (gbuffer
-# order), so tile packets may beat riding the sorted pair — 0 keeps the
-# tile NEE + separate sorted extension trace at vertex 0.
-PT_PAIR_FIRST = _os.environ.get("EVPLP_PT_PAIR_FIRST", "1") not in ("0", "")
 
 
 def _emit_profile(light_n, to_prev, exponent):
@@ -88,22 +75,20 @@ def _nee_contrib(scene: SceneData, position, normal, inc, kd, ks, ns,
 
 
 def _vertex_traces(scene, position, direction, ext_active, l_pos, surface,
-                   shadow_eps, tile_shape, pair=True):
+                   shadow_eps, tile_shape):
     """Trace a vertex's extension ray (closest) + NEE segment (any-hit).
 
     Bounce vertices (tile_shape None) share ONE sort permutation between
-    the two traces (both originate at the vertex): two dispatches by
-    default, or one fused kernel walk with PT_PAIR (measured
-    frame-neutral).  The first vertex keeps its SCREEN-coherent tile NEE
-    + a separate sorted extension trace (riding the sorted pair measured
-    84 ms/frame worse — NOTES.md A/B log) unless PT_PAIR & PT_PAIR_FIRST.
-    All formulations compute identical intersections."""
+    the two traces (both originate at the vertex).  The first vertex
+    keeps its SCREEN-coherent tile NEE + a separate sorted extension
+    trace (riding the sorted pair measured 84 ms/frame worse — NOTES.md
+    A/B log).  Both formulations compute identical intersections."""
     t_max = jnp.where(ext_active, jnp.float32(3.0e38), jnp.float32(0.0))
-    if (PT_PAIR and pair) or tile_shape is None:
+    if tile_shape is None:
         return closest_and_segment(
             scene.tris, scene.bvh, position, direction,
             t_min=1e-5, t_max=t_max, seg_to=l_pos, seg_eps=shadow_eps,
-            seg_live=surface, fused_kernel=PT_PAIR)
+            seg_live=surface)
     hit = intersect_closest(scene.tris, scene.bvh, position, direction,
                             t_min=1e-5, t_max=t_max, sort_rays=True)
     occluded = occluded_segment(scene.tris, scene.bvh, l_pos, position,
@@ -172,8 +157,7 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
 
     hit, occluded = _vertex_traces(scene, position, direction, active,
                                    l_pos, active, shadow_eps=1e-4,
-                                   tile_shape=tile_shape,
-                                   pair=PT_PAIR_FIRST)
+                                   tile_shape=tile_shape)
     result += jnp.where(
         active[:, None],
         _nee_contrib(scene, position, normal, inc, gbuf.kd, gbuf.ks, gbuf.ns,

@@ -21,7 +21,6 @@ adds back.
 """
 from __future__ import annotations
 
-import os as _os
 from functools import partial
 
 import jax
@@ -32,17 +31,7 @@ from evplp_tpu.core import mathutil as mu
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.integrators.light_trace import FLAG_VPL, PhotonMap
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.trace.intersect import occluded_segment, occluded_segment_pair
-
-# A/B: trace shadow segments TWO records per lane (Morton-sorted records
-# paired by adjacency; one fused walk per pixel tile covers ~the union of
-# two coherent segment sets — halves the dispatch count of the frame's
-# dominant workload).  MEASURED ON TPU v5e AND REJECTED: 0.69x of the
-# single-segment path (837 vs 573 ms per 128M segments at 147k tris) —
-# two records per lane roughly doubles each packet's node working set,
-# and the walk cost tracks that union (same finding as the fat-leaf
-# sweep).  Kept as a tested alternate; see NOTES.md round-3 A/B log.
-VPL_PAIR = _os.environ.get("EVPLP_VPL_PAIR", "0") not in ("0", "")
+from evplp_tpu.trace.intersect import occluded_segment
 
 
 def vpl_chunk_contribution(scene: SceneData, gbuf: GBuffer, rec: dict,
@@ -67,34 +56,15 @@ def vpl_chunk_contribution(scene: SceneData, gbuf: GBuffer, rec: dict,
     # pre-culled pairs (backfacing / unusable / sky) are never traced
     usable = ((rec["flags"] & FLAG_VPL) != 0)[None, :]
     pretest = cull & (gbuf.stencil > 0.0)[:, None] & usable       # (N, C)
-    if VPL_PAIR and c % 2 == 0:
-        # PIXEL-major, two records per lane: pair Morton-adjacent records
-        # (2p, 2p+1) so each fused walk's working set is ~one record's
-        p = c // 2
-        o = jnp.broadcast_to(gbuf.position[None, :, :],
-                             (p, n, 3)).reshape(-1, 3)
-        to_a = jnp.broadcast_to(rec["pos"][0::2][:, None, :],
-                                (p, n, 3)).reshape(-1, 3)
-        to_b = jnp.broadcast_to(rec["pos"][1::2][:, None, :],
-                                (p, n, 3)).reshape(-1, 3)
-        ts = None if tile_shape is None else (p * tile_shape[0],
-                                              tile_shape[1])
-        occ_a, occ_b = occluded_segment_pair(
-            scene.tris, scene.bvh, o, to_a, to_b, eps=1e-4,
-            live_a=pretest.T[0::2].reshape(-1),
-            live_b=pretest.T[1::2].reshape(-1), tile_shape=ts)
-        occ = jnp.stack([occ_a.reshape(p, n), occ_b.reshape(p, n)],
-                        axis=1).reshape(c, n).T
-    else:
-        seg_from = jnp.broadcast_to(rec["pos"][:, None, :],
-                                    (c, n, 3)).reshape(-1, 3)
-        seg_to = jnp.broadcast_to(gbuf.position[None, :, :],
-                                  (c, n, 3)).reshape(-1, 3)
-        ts = None if tile_shape is None else (c * tile_shape[0],
-                                              tile_shape[1])
-        occ = occluded_segment(scene.tris, scene.bvh, seg_from, seg_to,
-                               eps=1e-4, live=pretest.T.reshape(-1),
-                               tile_shape=ts).reshape(c, n).T
+    seg_from = jnp.broadcast_to(rec["pos"][:, None, :],
+                                (c, n, 3)).reshape(-1, 3)
+    seg_to = jnp.broadcast_to(gbuf.position[None, :, :],
+                              (c, n, 3)).reshape(-1, 3)
+    ts = None if tile_shape is None else (c * tile_shape[0],
+                                          tile_shape[1])
+    occ = occluded_segment(scene.tris, scene.bvh, seg_from, seg_to,
+                           eps=1e-4, live=pretest.T.reshape(-1),
+                           tile_shape=ts).reshape(c, n).T
 
     d2 = jnp.maximum(mu.dot(v12, v12), 1e-20)
     wi12 = v12 * jax.lax.rsqrt(d2)[..., None]
@@ -164,25 +134,6 @@ def vpl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap,
         "flux_dir": flat.flux_dir, "kd": flat.kd, "ks": flat.ks,
         "ns": flat.ns, "p_select": flat.p_select, "flags": flat.flags,
     }
-    if VPL_PAIR:
-        # Morton-order the records so adjacent pairs are spatially close
-        # (their fused dual-segment walks then share most of the tree);
-        # unusable records sort to the end.  The gather sums over records,
-        # so any permutation leaves the estimator unchanged.
-        lo = scene.bvh.node_min[0]
-        inv_ext = 1.0 / jnp.maximum(scene.bvh.node_max[0] - lo, 1e-6)
-        cell = jnp.clip(((flat.pos - lo) * inv_ext * 64).astype(jnp.int32),
-                        0, 63)
-        code = jnp.zeros_like(cell[:, 0])
-        for b in range(6):
-            code = (code
-                    | (((cell[:, 0] >> b) & 1) << (3 * b + 2))
-                    | (((cell[:, 1] >> b) & 1) << (3 * b + 1))
-                    | (((cell[:, 2] >> b) & 1) << (3 * b)))
-        code = jnp.where((flat.flags & FLAG_VPL) != 0, code,
-                         jnp.int32(1) << 20)
-        ordr = jnp.argsort(code, stable=True)
-        records = {k: x[ordr] for k, x in records.items()}
     v = flat.pos.shape[0]
     pad = (-v) % chunk
     if pad:

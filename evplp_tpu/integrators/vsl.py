@@ -24,7 +24,6 @@ Reference quirks kept for estimator parity:
 """
 from __future__ import annotations
 
-import os as _os
 from functools import partial
 
 import jax
@@ -36,11 +35,7 @@ from evplp_tpu.core import rng
 from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.integrators.light_trace import FLAG_VPL, PhotonMap
 from evplp_tpu.scene.scene import SceneData
-from evplp_tpu.trace.intersect import (occluded_segment,
-                                       occluded_segment_pair)
-
-# shares vpl.py's A/B env: dual-record shadow segments per lane
-SEG_PAIR = _os.environ.get("EVPLP_VPL_PAIR", "0") not in ("0", "")
+from evplp_tpu.trace.intersect import occluded_segment
 
 MAX_VSL_SAMPLES = 101  # halfCone <= pi/2 -> numSamples <= 101
 SORT_CHUNKS = 16       # sorted-pixel chunks (own sample bound each)
@@ -94,33 +89,14 @@ def _group_occlusion(scene, screen_pos, screen_normal, screen_stencil,
     pre = ((ucos1 * ucos2) > 1e-9 * d2) \
         & (screen_stencil > 0.0)[None, :] \
         & (((recs["flags"] & FLAG_VPL) != 0))[:, None]
-    if SEG_PAIR and g % 2 == 0:
-        # pixel-major, two records per lane (consecutive records along a
-        # light path are spatially adjacent): one fused walk per pair —
-        # see vpl.py VPL_PAIR / trace.intersect.occluded_segment_pair
-        p = g // 2
-        o = jnp.broadcast_to(screen_pos[None], (p, n, 3)).reshape(-1, 3)
-        to_a = jnp.broadcast_to(recs["pos"][0::2][:, None, :],
-                                (p, n, 3)).reshape(-1, 3)
-        to_b = jnp.broadcast_to(recs["pos"][1::2][:, None, :],
-                                (p, n, 3)).reshape(-1, 3)
-        ts = None if tile_shape is None else (p * tile_shape[0],
-                                              tile_shape[1])
-        occ_a, occ_b = occluded_segment_pair(
-            scene.tris, scene.bvh, o, to_a, to_b, eps=1e-4,
-            live_a=pre[0::2].reshape(-1), live_b=pre[1::2].reshape(-1),
-            tile_shape=ts)
-        occ = jnp.stack([occ_a.reshape(p, n), occ_b.reshape(p, n)],
-                        axis=1).reshape(g, n)
-    else:
-        seg_from = jnp.broadcast_to(recs["pos"][:, None, :],
-                                    (g, n, 3)).reshape(-1, 3)
-        seg_to = jnp.broadcast_to(screen_pos[None], (g, n, 3)).reshape(-1, 3)
-        ts = None if tile_shape is None else (g * tile_shape[0],
-                                              tile_shape[1])
-        occ = occluded_segment(scene.tris, scene.bvh, seg_from, seg_to,
-                               eps=1e-4, live=pre.reshape(-1),
-                               tile_shape=ts).reshape(g, n)
+    seg_from = jnp.broadcast_to(recs["pos"][:, None, :],
+                                (g, n, 3)).reshape(-1, 3)
+    seg_to = jnp.broadcast_to(screen_pos[None], (g, n, 3)).reshape(-1, 3)
+    ts = None if tile_shape is None else (g * tile_shape[0],
+                                          tile_shape[1])
+    occ = occluded_segment(scene.tris, scene.bvh, seg_from, seg_to,
+                           eps=1e-4, live=pre.reshape(-1),
+                           tile_shape=ts).reshape(g, n)
     return pre & ~occ
 
 

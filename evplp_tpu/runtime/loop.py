@@ -206,6 +206,23 @@ def run_photon_fam(job: RenderJob, output_dir: str | None = None,
         sched.pdf_mc = fields["pdf_mc"]
     if mesh is not None:
         state = shard_state(state, mesh)
+
+    # warm-up frame: compile outside the budget clock (the reference's
+    # timeLimitMs excludes its setup-time PTX compile, rtcomphoton.h:646
+    # runs before the run() stopwatch; compare.py does the same)
+    warm_key = iteration_key(0, p.rng_offset)
+    if mesh is not None:
+        warm = sharded_photon_fam_frame(
+            scene, cfg, mesh, state, warm_key,
+            sched.radius, sched.clamp, sched.pdf_mc, sched.vsl_radius)
+    else:
+        warm = photon_fam_frame(
+            scene, cfg, state, warm_key,
+            jnp.float32(sched.radius), jnp.float32(sched.clamp),
+            jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius))
+    _host_sync(warm.dropped)
+    del warm
+
     t0 = time.perf_counter()
     prev_ms = 0.0
     pacer = BudgetPacer(p.time_limit_ms, t0)
@@ -315,35 +332,59 @@ def finalize(state: FrameState, cfg: PhotonFamConfig, iters: int,
 
 def run_pt(job: RenderJob, output_dir: str | None = None,
            max_wall_s: float | None = None,
-           display_gamma: bool = False) -> RunResult:
-    """Path-tracing run (reference driver: rtpt/rtpt2.h:575-670)."""
+           display_gamma: bool = False, mesh=None) -> RunResult:
+    """Path-tracing run (reference driver: rtpt/rtpt2.h:575-670).
+
+    mesh: optional jax.sharding.Mesh — pixel rows shard data-parallel
+    (parallel/shard.py sharded_pt_frame); accumulation stays sharded."""
     p = job.params
     scene = job.scene
     n = job.width * job.height
     accumulate = p.frame_mode == "accumulate"
 
-    @jax.jit
-    def frame(acc, light_acc, key):
-        if p.use_jitter:
-            u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
-            jitter = (2.0 * u - 1.0) / jnp.asarray(
-                [job.width, job.height], jnp.float32)
-        else:
-            jitter = None
-        gbuf = trace_gbuffer(scene, job.width, job.height, jitter)
-        result = jnp.zeros((n, 3), jnp.float32)
-        for s in range(p.num_sample_per_pixel):
-            result += render_pt_frame(scene, gbuf, jax.random.fold_in(key, s),
-                                      p.num_max_bounces,
-                                      tile_shape=(job.height, job.width))
-        result /= p.num_sample_per_pixel
-        light = light_image(scene, gbuf)
-        new_acc = acc + result if accumulate else result
-        return new_acc, light
+    if mesh is not None:
+        from evplp_tpu.parallel.shard import sharded_pt_frame
+
+        def frame(acc, light_acc, key):
+            result = jnp.zeros((n, 3), jnp.float32)
+            light = light_acc
+            for s in range(p.num_sample_per_pixel):
+                img, light = sharded_pt_frame(
+                    scene, mesh, job.width, job.height,
+                    jax.random.fold_in(key, s), p.num_max_bounces,
+                    use_jitter=p.use_jitter)
+                result = result + img
+            result = result / p.num_sample_per_pixel
+            new_acc = acc + result if accumulate else result
+            return new_acc, light
+    else:
+        @jax.jit
+        def frame(acc, light_acc, key):
+            if p.use_jitter:
+                u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
+                jitter = (2.0 * u - 1.0) / jnp.asarray(
+                    [job.width, job.height], jnp.float32)
+            else:
+                jitter = None
+            gbuf = trace_gbuffer(scene, job.width, job.height, jitter)
+            result = jnp.zeros((n, 3), jnp.float32)
+            for s in range(p.num_sample_per_pixel):
+                result += render_pt_frame(scene, gbuf,
+                                          jax.random.fold_in(key, s),
+                                          p.num_max_bounces,
+                                          tile_shape=(job.height, job.width))
+            result /= p.num_sample_per_pixel
+            light = light_image(scene, gbuf)
+            new_acc = acc + result if accumulate else result
+            return new_acc, light
 
     acc = jnp.zeros((n, 3), jnp.float32)
     light = jnp.zeros((n, 3), jnp.float32)
     iters = 0
+    # warm-up: compile outside the budget clock (see run_photon_fam)
+    warm, _ = frame(acc, light, iteration_key(0, p.rng_offset))
+    _host_sync(warm[0])
+    del warm
     t0 = time.perf_counter()
     pacer = BudgetPacer(p.time_limit_ms, t0)
     while True:

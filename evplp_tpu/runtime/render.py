@@ -15,7 +15,8 @@ def render_job(job: RenderJob, output_dir: str | None = None,
     if job.params.technique == "pt":
         return run_pt(job, output_dir=output_dir,
                       max_wall_s=kwargs.get("max_wall_s"),
-                      display_gamma=kwargs.get("display_gamma", False))
+                      display_gamma=kwargs.get("display_gamma", False),
+                      mesh=kwargs.get("mesh"))
     return run_photon_fam(job, output_dir=output_dir, **kwargs)
 
 

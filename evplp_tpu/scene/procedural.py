@@ -343,6 +343,46 @@ def box_field(num_boxes: int = 2000, seed: int = 0,
                                  room_scale))
 
 
+def furnace_scene(intensity: float = 2.0,
+                  albedo: float = 0.65) -> SceneData:
+    """Analytic "furnace" enclosure: the ENTIRE [0,1]^3 cube interior is the
+    area light (uniform emitted radiance), with a small Lambertian patch at
+    the center and the camera just above it looking down.
+
+    Closed form: with config intensity I and phong exponent 0, the emitted
+    radiance is direction-independent L_e = I (pi-premultiply at load,
+    rtcommon.h:782, cancels the (0+2)/(2pi) profile, rtmaterial.cuh:112-118).
+    The patch sees L_e over its whole upper hemisphere, so its irradiance is
+    pi*I and its reflected radiance is
+
+        L = albedo * I          (any viewing direction)
+
+    exactly — for PT, for the VPL estimator (vertex-0 records reproduce the
+    emission profile), and for clamped-VPL + photon compensation (EVPLP).
+    The light walls are black (build_scene gives the emitter mesh black
+    material), so transport stops after one bounce and the closed form has
+    no multi-bounce correction.
+    """
+    cpos, cidx = _box([0.0, 0.0, 0.0], [1.0, 1.0, 1.0])
+    cidx = cidx[:, ::-1]                      # inward-facing normals
+    # patch faces +y (same winding as cornell's floor)
+    ppos, pidx = _quad([0.35, 0.5, 0.35], [0.35, 0.5, 0.65],
+                       [0.65, 0.5, 0.65], [0.65, 0.5, 0.35])
+    camera = Camera(
+        origin=(0.5, 0.62, 0.5), look_at=(0.5, 0.0, 0.5), up=(0.0, 0.0, 1.0),
+        fovy=np.radians(50.0), aspect=1.0,
+    )
+    return build_scene(
+        positions_list=[ppos], indices_list=[pidx],
+        kd_list=[np.full(3, albedo, np.float32)],
+        ks_list=[np.zeros(3, np.float32)], ns_list=[0.0],
+        light_positions=cpos, light_indices=cidx,
+        light_intensity=np.asarray([intensity, intensity, intensity, 0.0],
+                                   np.float32),
+        camera=camera,
+    )
+
+
 def plane_light_scene(light_intensity=(5.0, 5.0, 5.0, 0.0)) -> SceneData:
     """Minimal scene: one diffuse floor + one overhead light quad.
 

@@ -421,8 +421,8 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
 
 def _shared_sort_key(bvh: BVH, o, da, dead):
     """(octant(da) | origin cell) sort key with dead lanes sent to the
-    tail — the shared-permutation front end of _sorted_pair_trace /
-    _sorted_shared_trace (identical key math to _sorted_packet_trace)."""
+    tail — the shared-permutation front end of _sorted_shared_trace
+    (identical key math to _sorted_packet_trace)."""
     lo = bvh.node_min[0]
     inv_ext = 1.0 / jnp.maximum(bvh.node_max[0] - lo, 1e-6)
     bits = SORT_BITS
@@ -441,8 +441,8 @@ def _sorted_shared_trace(bvh: BVH, o, da, t_min_a, t_max_a,
                          db, t_min_b, t_max_b, stream: bool = False):
     """Shared-permutation closest(A) + any-hit(B) as TWO separate packet
     dispatches (PT's per-vertex extension + NEE segment, which share an
-    origin; the fused single-dispatch variant is _sorted_pair_trace,
-    measured frame-neutral and off by default — NOTES.md A/B log).
+    origin; a fused single-dispatch pair kernel was measured
+    frame-neutral and removed — NOTES.md A/B log).
 
     One key + argsort + packed (R, 13) row gather + inverse permutation
     serve both traces (~25-30 ms/1M rays of permutation machinery saved
@@ -473,54 +473,21 @@ def _sorted_shared_trace(bvh: BVH, o, da, t_min_a, t_max_a,
     return out[:, 0], ints[:, 0], out[:, 1], out[:, 2], ints[:, 1] > 0
 
 
-def _sorted_pair_trace(bvh: BVH, o, da, t_min_a, t_max_a,
-                       db, t_min_b, t_max_b, stream: bool = False):
-    """Shared-sort fused closest(A)+any-hit(B) trace (see packet_pair.py).
-
-    One permutation serves both rays: the sort key comes from ray A's
-    octant + the shared origin cell (B segments from one origin cell all
-    point at the light sample — origin-coherent), and ONE packed (R, 13)
-    row gather moves both ray sets into sorted order.  Saves a key +
-    argsort + gather/scatter pipeline (~35 ms/1M rays) AND a kernel
-    dispatch sequence vs two separate sorted traces."""
-    r = o.shape[0]
-    # only lanes dead for BOTH rays go to the all-dead tail packets
-    dead = (t_max_a <= t_min_a) & (t_max_b <= t_min_b)
-    perm = jnp.argsort(_shared_sort_key(bvh, o, da, dead), stable=True)
-
-    packed = jnp.concatenate(
-        [o, da, t_min_a[:, None], t_max_a[:, None],
-         db, t_min_b[:, None], t_max_b[:, None]], axis=1)[perm]
-    from evplp_tpu.trace.packet_pair import packet_pair_trace
-    pm = None if bvh.slot_order else bvh.pk_prim_map
-    t, prim, u, v, occ = packet_pair_trace(
-        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
-        packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
-        packed[:, 8:11], packed[:, 11], packed[:, 12],
-        rows=SORTED_ROWS, npack=SORTED_NPACK, rpl=bvh.rpl,
-        fused=bvh.fused_nodes, stream_tris=stream, packed16=bvh.packed16)
-
-    inv = jnp.zeros_like(perm).at[perm].set(
-        jnp.arange(r, dtype=perm.dtype))
-    out = jnp.stack([t, u, v], axis=1)[inv]
-    ints = jnp.stack([prim, occ.astype(jnp.int32)], axis=1)[inv]
-    return out[:, 0], ints[:, 0], out[:, 1], out[:, 2], ints[:, 1] > 0
-
-
-@partial(jax.jit, static_argnames=("leaf_size", "fused_kernel"))
+@partial(jax.jit, static_argnames=("leaf_size",))
 def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
                         seg_to, seg_eps: float = 1e-5, seg_live=None,
-                        leaf_size: int = 8, fused_kernel: bool = False):
+                        leaf_size: int = 8):
     """Paired trace for PT's per-vertex workload: closest hit along d AND
     occlusion of the segment o -> seg_to (reference: the two rtTrace calls
     per vertex, pathtracing.cu:112-228 + 290-294), sharing one origin.
 
     On the packet path one sort permutation serves both ray sets
-    (_sorted_shared_trace); fused_kernel=True additionally rides both
-    rays through ONE kernel walk (_sorted_pair_trace — measured
-    frame-neutral, kept as the tested alternate).  Elsewhere this is
-    exactly intersect_closest + occluded_segment (same results, same
-    semantics: seg_live=False segments are not traced and report True)."""
+    (_sorted_shared_trace).  Elsewhere this is exactly intersect_closest
+    + occluded_segment (same results, same semantics: seg_live=False
+    segments are not traced and report True).  (A fully-fused
+    single-dispatch pair kernel was built and measured frame-neutral —
+    1.08x at kernel level, below the keep bar — and removed; NOTES.md
+    round-3 A/B log.)"""
     r = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -529,8 +496,7 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
         tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
         if seg_live is not None:
             tmax_b = jnp.where(seg_live, tmax_b, 0.0)
-        trace = _sorted_pair_trace if fused_kernel else _sorted_shared_trace
-        t, prim, u, v, occ = trace(
+        t, prim, u, v, occ = _sorted_shared_trace(
             bvh, o, d, t_min, t_max,
             db, jnp.full((r,), seg_eps, jnp.float32), tmax_b,
             stream=_stream_tris(tris, bvh))
@@ -541,69 +507,6 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
                            leaf_size=leaf_size, live=seg_live,
                            sort_rays=True)
     return hit, occ
-
-
-@partial(jax.jit, static_argnames=("tile_shape", "leaf_size"))
-def occluded_segment_pair(tris: Triangles, bvh: BVH, p_from, to_a, to_b,
-                          eps: float = 1e-4, live_a=None, live_b=None,
-                          tile_shape=None, leaf_size: int = 8):
-    """TWO segment occlusions per lane from a shared origin (the VPL gather
-    pairs two spatially-adjacent records per pixel): one fused kernel walk
-    over ~the union of the two segment sets, halving the dispatch count of
-    the frame's dominant shadow workload (lighttracing.cu:290-294 traces
-    them per-ray under OptiX).  Returns (occ_a, occ_b); dead segments
-    (live=False) are not traced and report True."""
-    r = p_from.shape[0]
-    da = to_a - p_from
-    db = to_b - p_from
-    one = jnp.float32(1.0 - eps)
-    tmax_a = jnp.full((r,), one) if live_a is None else \
-        jnp.where(live_a, one, jnp.float32(0.0))
-    tmax_b = jnp.full((r,), one) if live_b is None else \
-        jnp.where(live_b, one, jnp.float32(0.0))
-    if (tris.v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
-            or not _use_packet(tris, bvh)):
-        # off the packet path: two separate dispatches, same results
-        occ_a = intersect_any(tris, bvh, p_from, da, t_min=eps,
-                              t_max=tmax_a, leaf_size=leaf_size,
-                              tile_shape=tile_shape)
-        occ_b = intersect_any(tris, bvh, p_from, db, t_min=eps,
-                              t_max=tmax_b, leaf_size=leaf_size,
-                              tile_shape=tile_shape)
-        return occ_a, occ_b
-
-    from evplp_tpu.trace.packet_pair import packet_pair_trace
-    tmin = jnp.full((r,), jnp.float32(eps))
-    o, da_, db_ = p_from, da, db
-    sw = (tile_shape is not None and tile_shape[0] * tile_shape[1] == r
-          and tile_shape[1] % SWIZZLE_TW == 0)
-    if sw:
-        ht, w = tile_shape
-        pad_rows = (-ht) % SWIZZLE_TH
-        if pad_rows:
-            o = jnp.pad(o, ((0, pad_rows * w), (0, 0)))
-            da_ = jnp.pad(da_, ((0, pad_rows * w), (0, 0)),
-                          constant_values=1.0)
-            db_ = jnp.pad(db_, ((0, pad_rows * w), (0, 0)),
-                          constant_values=1.0)
-            tmin = jnp.pad(tmin, (0, pad_rows * w), constant_values=1.0)
-            tmax_a = jnp.pad(tmax_a, (0, pad_rows * w))
-            tmax_b = jnp.pad(tmax_b, (0, pad_rows * w))
-            ht += pad_rows
-        o, da_, db_, tmin, tmax_a, tmax_b = (
-            _swizzle(x, ht, w) for x in (o, da_, db_, tmin, tmax_a, tmax_b))
-    pm = None if bvh.slot_order else bvh.pk_prim_map
-    _, pa, _, _, occ_b = packet_pair_trace(
-        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, pm,
-        o, da_, tmin, tmax_a, db_, tmin, tmax_b,
-        rows=64, npack=2, rpl=bvh.rpl, fused=bvh.fused_nodes,
-        a_any_hit=True, stream_tris=_stream_tris(tris, bvh),
-        packed16=bvh.packed16)
-    occ_a = pa >= 0
-    if sw:
-        occ_a = _unswizzle(occ_a, ht, w)[:r]
-        occ_b = _unswizzle(occ_b, ht, w)[:r]
-    return occ_a, occ_b
 
 
 # packet kernel implementation switch (A/B): "packet3" = one grid step per

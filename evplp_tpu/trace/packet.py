@@ -1,6 +1,7 @@
 """Pallas packet BVH traversal, v1 — reference implementation.
 
-SUPERSEDED for dispatch by trace/packet2.py (VMEM-packed layout; this
+SUPERSEDED for dispatch by trace/packet3.py (the production kernel:
+VMEM-packed tri rows, fused/packed16 node layouts, HBM streaming; this
 version's (T, 3) arrays pad the minor dim to 128 lanes in VMEM, capping
 scenes at ~30k triangles).  Kept as the readable form of the algorithm and
 for differential testing; same traversal semantics.

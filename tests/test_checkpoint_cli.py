@@ -65,3 +65,28 @@ def test_cli(tmp_path):
     stats = json.loads(out.stdout[out.stdout.rfind("{"):])
     assert stats["numIterations"] == 1
     assert os.path.exists(os.path.join(str(tmp_path), "o.pfm"))
+
+
+def test_cli_mesh(tmp_path):
+    """--mesh N runs the sharded frame from the CLI (VERDICT r3 #6)."""
+    block = dict(
+        rngOffset=0, numMaxIteration=1, timeLimitMs=-1.0,
+        frameMode="accumulate", useJitter=False, useStat=False,
+        statFilename="", numLightPaths=64, numVplLightPaths=8,
+        numMaxBounces=2, radiusPercentage=0.05, DoProgressive=False,
+        combinedFilename=os.path.join(str(tmp_path), "m.pfm"),
+        weightedPhotonFilename="", weightedVplFilename="",
+    )
+    cfg = write_cornell_config(str(tmp_path), block, "photonfam", res=16,
+                               name="climesh")
+    env = dict(os.environ, EVPLP_PLATFORM="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, "-m", "evplp_tpu", cfg, "--mesh", "8"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout[out.stdout.rfind("{"):])
+    assert stats["numIterations"] == 1
+    assert os.path.exists(os.path.join(str(tmp_path), "m.pfm"))
