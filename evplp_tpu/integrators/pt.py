@@ -45,10 +45,15 @@ def _emit_profile(light_n, to_prev, exponent):
     return brdf.phong_eval_f(light_n, to_prev, light_n, exponent)
 
 
-def _nee_contrib(scene: SceneData, position, normal, inc, kd, ks, ns,
-                 attenuation, chose_l, p_l, l_pos, l_n, l_pdf, l_val,
-                 occluded):
-    """NEE contribution given the sampled light point and its occlusion.
+def _nee_terms(scene: SceneData, position, normal, inc, kd, ks, ns,
+               attenuation, chose_l, p_l, l_pos, l_n, l_pdf, l_val):
+    """UNOCCLUDED NEE contribution for the sampled light point.
+
+    Computed BEFORE the shadow trace: lanes whose contribution is exactly
+    zero (geometry term 0, emitter backfacing, black BRDF product) are
+    culled from the segment trace entirely — occlusion can only gate a
+    nonzero contribution, so the estimator is unchanged while the
+    shadow-segment batch sheds its provably-zero lanes.
 
     The lobe-selection decision (chose_l) also selects which BRDF the NEE
     contribution uses and its 1/p factor, matching the reference's branch
@@ -70,8 +75,7 @@ def _nee_contrib(scene: SceneData, position, normal, inc, kd, ks, ns,
     f_p = brdf.phong_eval(to_light_n, inc, normal, ks, ns)
     c_p = (w_p * g * emit / jnp.maximum(1.0 - p_l, 1e-8))[:, None] * l_val * f_p
 
-    contrib = jnp.where(chose_l[:, None], c_l, c_p) * attenuation
-    return jnp.where(occluded[:, None], 0.0, contrib)
+    return jnp.where(chose_l[:, None], c_l, c_p) * attenuation
 
 
 def _vertex_traces(scene, position, direction, ext_active, l_pos, surface,
@@ -155,16 +159,14 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
     direction, brdf_pdf_w, attenuation, _ = brdf.sample_combined(
         u_sel, u_lobe, inc, normal, normal, gbuf.kd, gbuf.ks, gbuf.ns)
 
+    contrib0 = _nee_terms(scene, position, normal, inc, gbuf.kd, gbuf.ks,
+                          gbuf.ns, jnp.ones((n, 3)), chose_l, p_l, l_pos,
+                          l_n, l_pdf, l_val)
+    nee_live = active & jnp.any(contrib0 != 0.0, axis=1)
     hit, occluded = _vertex_traces(scene, position, direction, active,
-                                   l_pos, active, shadow_eps=1e-4,
+                                   l_pos, nee_live, shadow_eps=1e-4,
                                    tile_shape=tile_shape)
-    result += jnp.where(
-        active[:, None],
-        _nee_contrib(scene, position, normal, inc, gbuf.kd, gbuf.ks, gbuf.ns,
-                     jnp.ones((n, 3)), chose_l, p_l, l_pos, l_n, l_pdf,
-                     l_val, occluded),
-        0.0,
-    )
+    result += jnp.where((nee_live & ~occluded)[:, None], contrib0, 0.0)
 
     # ---- vertices 1..num_bounces-1: process hit, then paired NEE+extension
     # (the reference's closest-hit program, pathtracing.cu:112-228).
@@ -198,17 +200,16 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         survive = jax.random.uniform(k_rr, (n,)) < russian
         ext_active = surface & survive
 
+        contrib = _nee_terms(scene, position, geom_n, inc, kd, ks, ns,
+                             attenuation, chose_l, p_l, l_pos, l_n, l_pdf,
+                             l_val)
+        nee_live = surface & jnp.any(contrib != 0.0, axis=1)
         new_hit, occluded = _vertex_traces(
-            scene, position, new_dir, ext_active, l_pos, surface,
+            scene, position, new_dir, ext_active, l_pos, nee_live,
             shadow_eps=1e-5, tile_shape=None)
 
-        result = result + jnp.where(
-            surface[:, None],
-            _nee_contrib(scene, position, geom_n, inc, kd, ks, ns,
-                         attenuation, chose_l, p_l, l_pos, l_n, l_pdf,
-                         l_val, occluded),
-            0.0,
-        )
+        result = result + jnp.where((nee_live & ~occluded)[:, None],
+                                    contrib, 0.0)
 
         ext_attenuation = jnp.where(
             ext_active[:, None],

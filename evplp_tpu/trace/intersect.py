@@ -358,6 +358,22 @@ def _unswizzle(x, ht, w):
 # shape is worth ~5% and no more.
 SORT_BITS = int(_os.environ.get("EVPLP_SORT_BITS", "4"))
 SORT_MORTON = _os.environ.get("EVPLP_SORT_MORTON", "0") not in ("0", "")
+# Direction-quantization bits per axis BETWEEN the octant and the origin
+# cell: packets of a (octant, |dir| bucket) share a tighter direction
+# CONE, attacking the direction-divergence bound directly (the origin
+# key sweep showed working sets are direction-bound past bits=4).
+SORT_DQ = int(_os.environ.get("EVPLP_SORT_DQ", "0"))
+# all-dead lanes sort past any real key (octant 3 + 3*dq + 3*bits < 28)
+_DEAD_KEY = jnp.int32(1) << 28
+
+
+def _dq_bits(d):
+    """(R,) direction-magnitude bucket code, 3*SORT_DQ bits."""
+    adn = jnp.abs(d) * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(d * d, axis=-1, keepdims=True), 1e-30))
+    lv = 1 << SORT_DQ
+    q = jnp.clip((adn * lv).astype(jnp.int32), 0, lv - 1)
+    return (q[:, 0] << (2 * SORT_DQ)) | (q[:, 1] << SORT_DQ) | q[:, 2]
 
 
 def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
@@ -394,14 +410,16 @@ def _sorted_packet_trace(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
     else:
         code = ((cell[:, 0] << (2 * bits)) | (cell[:, 1] << bits)
                 | cell[:, 2])
-    key = (octant << (3 * bits)) | code
+    if SORT_DQ:
+        code = (_dq_bits(d) << (3 * bits)) | code
+    key = (octant << (3 * bits + 3 * SORT_DQ)) | code
     # dead lanes (empty interval: terminated paths, pre-culled segments)
     # sort to the END so they cluster into all-dead packets that exit the
     # traversal after ~1 iteration — lane compaction without the
     # gather/scatter cost (their per-lane results are unchanged: a pure
     # permutation, and empty intervals never hit)
     dead = t_max <= t_min
-    key = jnp.where(dead, jnp.int32(1) << 20, key)
+    key = jnp.where(dead, _DEAD_KEY, key)
     perm = jnp.argsort(key, stable=True)
 
     packed = jnp.concatenate(
@@ -433,8 +451,10 @@ def _shared_sort_key(bvh: BVH, o, da, dead):
               + (da[:, 2] < 0).astype(jnp.int32))
     code = ((cell[:, 0] << (2 * bits)) | (cell[:, 1] << bits)
             | cell[:, 2])
-    key = (octant << (3 * bits)) | code
-    return jnp.where(dead, jnp.int32(1) << 20, key)
+    if SORT_DQ:
+        code = (_dq_bits(da) << (3 * bits)) | code
+    key = (octant << (3 * bits + 3 * SORT_DQ)) | code
+    return jnp.where(dead, _DEAD_KEY, key)
 
 
 def _sorted_shared_trace(bvh: BVH, o, da, t_min_a, t_max_a,

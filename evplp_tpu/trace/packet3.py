@@ -63,17 +63,36 @@ _PACK_BASE = 129
 def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             stats: bool = False, sync_pack: bool = True,
             fused: bool = False, stream: bool = False,
-            packed16: bool = False):
+            packed16: bool = False, smem_meta: bool = False,
+            drain_gather: bool = False):
     """fused: node meta lives in bounds lanes 6/7 (BVH.fused_nodes) — no
     meta array in VMEM; the current node's meta words are CARRIED in the
     scalar loop state (selected when the node was chosen as a child) and
     the stack holds (node, w0, w1) triples.
+
+    smem_meta: node meta words live in SMEM (DMA'd once at grid step 0) and
+    every per-node meta fetch is a SCALAR load — the Mosaic census showed
+    the per-iteration meta fetches were vreg->sreg `vector.extract`s (the
+    vector<->scalar round trips every flat structural A/B preserved); SMEM
+    keeps the steering entirely in the scalar domain.  Uses the fused word
+    encoding regardless of the bounds layout; node count is capped by SMEM
+    size (SMEM_META_NODE_CAP).
+
+    drain_gather: fetch drained triangle components as VECTOR lane
+    broadcasts (tpu.dynamic_gather via take_along_axis) instead of 126
+    scalar extract+broadcast round trips per leaf row.  ~3x cheaper per
+    row in ISOLATION, but measured 0.91-0.96x at kernel level on every
+    production workload (tools/bench_meta_ab.py) — the extracts are
+    independent and pipeline under the traversal, while the gathers add
+    vector latency to the drain burst.  Default OFF; kept for the A/B
+    record.
 
     stream: triangle rows stay in HBM; each leaf ENQUEUE starts an async
     copy of its rpl rows into a per-queue-slot VMEM staging buffer, and the
     drain waits per entry — the DMA overlaps the traversal iterations
     between enqueue and drain.  Node bounds stay VMEM-resident, so the
     scene-size ceiling becomes node-bound instead of (node+tri)-bound."""
+    carry_meta = fused and not smem_meta
     def kernel(bounds_ref, meta_ref, tri_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref,
@@ -83,6 +102,10 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             out_ref = refs[0]
             stat_out = refs[-1]     # SMEM scratch: persists across grid steps
             refs = refs[1:-1]
+        meta_sm = None
+        if smem_meta:
+            meta_sm = refs[-1]
+            refs = refs[:-1]
         if stream:
             (stack_ref, qrow_ref, qcnt_ref, sgn_ref, hit_ref,
              ivx_ref, ivy_ref, ivz_ref,
@@ -124,7 +147,9 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             copies = [(bounds_ref, bounds_s)]
             if not stream:
                 copies.append((tri_ref, tri_s))
-            if not fused:
+            if smem_meta:
+                copies.append((meta_ref, meta_sm))
+            elif not fused:
                 copies.insert(1, (meta_ref, meta_s))
             for src, dst in copies:
                 cp = pltpu.make_async_copy(src, dst, dma_sem)
@@ -185,6 +210,14 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             want = (tn <= tf) & (tf >= 0.0) & (tn <= t_out[sl])
             if any_hit:
                 want = want & (prim_out[sl] < 0)
+            else:
+                # cull DEAD lanes (empty interval: terminated paths).  For
+                # closest hits t_out starts at t_max=0, and a dead lane
+                # whose origin sits INSIDE a node still passes the slab
+                # test (t_near < 0 <= t_out) — without this mask every
+                # terminated path re-walks its origin's subtree (any-hit
+                # packets were already culled via the fake-hit prim)
+                want = want & (tmax_ref[sl] > tmin_ref[sl])
             if sync_pack:
                 # sublane-reduced (1, LANES) 0/1 row: stays in the vector
                 # domain so several tests can share ONE scalar readout
@@ -219,12 +252,29 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                     the ORIGINAL row id `slot_row`; `rr` is the row's index
                     within the leaf for the count mask."""
                     best_t, best_p, best_u, best_v = carry
-                    blk = tri_s[blk_row, :]
+                    if drain_gather:
+                        # vector-domain component fetch: lane b of the row,
+                        # broadcast to all lanes by a full-vreg dynamic
+                        # gather with a constant index — no vreg->sreg
+                        # extract + sreg->vreg broadcast round trip (the
+                        # scalar form measured ~3x slower per row)
+                        blk8 = jnp.broadcast_to(
+                            tri_s[pl.ds(blk_row, 1), :], (8, LANES))
+
+                        def _lane(c):
+                            idx = jnp.full((8, LANES), c, jnp.int32)
+                            return jnp.take_along_axis(
+                                blk8, idx, axis=1)[0:1, :]
+                    else:
+                        blk = tri_s[blk_row, :]
+
+                        def _lane(c):
+                            return blk[c]
                     for j in range(LEAF):
                         b = j * SLOT
-                        v0x_, v0y_, v0z_ = blk[b], blk[b + 1], blk[b + 2]
-                        e1x_, e1y_, e1z_ = blk[b + 3], blk[b + 4], blk[b + 5]
-                        e2x_, e2y_, e2z_ = blk[b + 6], blk[b + 7], blk[b + 8]
+                        v0x_, v0y_, v0z_ = _lane(b), _lane(b + 1), _lane(b + 2)
+                        e1x_, e1y_, e1z_ = _lane(b + 3), _lane(b + 4), _lane(b + 5)
+                        e2x_, e2y_, e2z_ = _lane(b + 6), _lane(b + 7), _lane(b + 8)
 
                         px = dy * e2z_ - dz * e2y_
                         py = dz * e2x_ - dx * e2z_
@@ -298,7 +348,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             return alive
 
         def body(state):
-            if fused:
+            if carry_meta:
                 curs, sps, qns, w0s, w1s = state
                 w0s = list(w0s)
                 w1s = list(w1s)
@@ -326,7 +376,18 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 active = curs[k] >= 0
                 node = jnp.maximum(curs[k], 0)
                 left = node + 1
-                if fused:
+                if smem_meta:
+                    # scalar-domain steering: meta words come from SMEM —
+                    # no vreg->sreg extract on the critical path
+                    w1c = meta_sm[2 * node + 1]
+                    right = w1c >> 2
+                    axis = w1c & 3
+                    rsafe = jnp.maximum(right, 0)
+                    ml = (meta_sm[2 * left], meta_sm[2 * left + 1])
+                    mr = (meta_sm[2 * rsafe], meta_sm[2 * rsafe + 1])
+                    wl = slab(k, _node_row(left))
+                    wr = slab(k, _node_row(rsafe))
+                elif fused:
                     right = w1s[k] >> 2
                     axis = w1s[k] & 3
                     row_l = _node_row(left)
@@ -367,7 +428,13 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
             # ---- phase 2: scalar steering (dummy-slot writes, no branches)
             for k in range(npack):
                 left, right, axis, ml, mr, want_l, want_r = tests[k]
-                if fused:
+                if smem_meta:
+                    # 9-bit count field: unlike the fused bounds-lane words
+                    # (6 bits, leaf <= 42 builds only), smem meta serves ANY
+                    # leaf size, and test leaves reach 112+ triangles
+                    cnt_l, lrow_l = ml[0] & 511, ml[0] >> 9
+                    cnt_r, lrow_r = mr[0] & 511, mr[0] >> 9
+                elif fused:
                     cnt_l, lrow_l = ml[0] & 63, ml[0] >> 6
                     cnt_r, lrow_r = mr[0] & 63, mr[0] >> 6
                 else:
@@ -417,7 +484,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 sp = sps[k]
                 sslot = k * STACK_DEPTH + jnp.where(push, sp,
                                                     STACK_DEPTH - 1)
-                if fused:
+                if carry_meta:
                     # carried meta words follow the same child selection
                     w0_f = jnp.where(pos_dir, ml[0], mr[0])
                     w1_f = jnp.where(pos_dir, ml[1], mr[1])
@@ -435,7 +502,7 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                 # out of nodes: pop (unconditional read + select)
                 tslot = k * STACK_DEPTH + jnp.maximum(sp - 1, 0)
                 need_pop = (cur < 0) & (sp > 0)
-                if fused:
+                if carry_meta:
                     cur = jnp.where(need_pop, stack_ref[3 * tslot], cur)
                     w0 = jnp.where(need_pop, stack_ref[3 * tslot + 1], w0)
                     w1 = jnp.where(need_pop, stack_ref[3 * tslot + 2], w1)
@@ -476,14 +543,14 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
                     sps[k] = jnp.where(stop, 0, sps[k])
                     qns[k] = jnp.where(stop, 0, qns[k])
 
-            if fused:
+            if carry_meta:
                 return (tuple(curs), tuple(sps), tuple(qns),
                         tuple(w0s), tuple(w1s))
             return (tuple(curs), tuple(sps), tuple(qns))
 
         zero = jnp.int32(0)
         zeros = tuple(zero for _ in range(npack))
-        if fused:
+        if carry_meta:
             # root meta words from the fused root row
             w0r, w1r = _meta_words(_node_row(0))
             init = (zeros, zeros, zeros,
@@ -499,17 +566,31 @@ def _kernel(any_hit: bool, npack: int, rows: int, rpl: int = 1,
     return kernel
 
 
+# SMEM-resident meta ceiling: 2 words/node x 4 B; 512 KB of SMEM scratch
+# compiles on v5e (1 MB does not) — cap well below to leave room for the
+# stacks/queues and compiler-internal scalars
+SMEM_META_NODE_CAP = 56_000
+
+
 @partial(jax.jit, static_argnames=("any_hit", "rows", "npack", "rpl",
                                    "stats", "sync_pack", "fused",
-                                   "stream_tris", "packed16"))
+                                   "stream_tris", "packed16", "smem_meta",
+                                   "drain_gather"))
 def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
                   any_hit: bool = False, rows: int = ROWS,
                   npack: int = NPACK, rpl: int = 1, stats: bool = False,
                   sync_pack: bool = True, fused: bool = False,
-                  stream_tris: bool = False, packed16: bool = False):
+                  stream_tris: bool = False, packed16: bool = False,
+                  smem_meta: bool | None = None,
+                  drain_gather: bool = False):
     assert not sync_pack or npack <= 2, "packed readout overflows for npack>2"
     """Traverse with the packed layout. Returns (t, prim, u, v) with prim
-    already mapped to original triangle ids (-1 = miss)."""
+    already mapped to original triangle ids (-1 = miss).
+
+    smem_meta None = auto: on when the node count fits the SMEM budget
+    (scalar-domain steering; see _kernel docstring)."""
+    if smem_meta is None:
+        smem_meta = meta.shape[0] <= SMEM_META_NODE_CAP
     r = o.shape[0]
     block_rows = rows * npack
     packet = block_rows * LANES
@@ -542,21 +623,34 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
         out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
                                       memory_space=pltpu.SMEM))
-    if fused:
+    n_nodes = meta.shape[0]
+    if smem_meta:
+        # interleaved (w0_0, w1_0, w0_1, ...) — the kernel DMA's this
+        # straight into SMEM at grid step 0.  9-bit count field (the fused
+        # bounds-lane encoding's 6 bits only covers leaf <= 42 builds)
+        w0 = meta[:, 0] | (meta[:, 1] << 9)
+        w1 = (meta[:, 2] << 2) | meta[:, 3]
+        meta = jnp.stack([w0, w1], axis=1).reshape(-1)
+        meta_vmem = pltpu.VMEM((1, 4), jnp.int32)   # dummy meta_s
+    elif fused:
         # no meta in VMEM: a dummy row keeps the kernel signature stable
         meta = meta[:1]
+        meta_vmem = pltpu.VMEM(meta.shape, meta.dtype)
+    else:
+        meta_vmem = pltpu.VMEM(meta.shape, meta.dtype)
+    carry_meta = fused and not smem_meta
     tri_scratch = (pltpu.VMEM((npack * QCAP * rpl, LANES), tri_rows.dtype)
                    if stream_tris else
                    pltpu.VMEM(tri_rows.shape, tri_rows.dtype))
     t, slot, u, v, *stat = pl.pallas_call(
         _kernel(any_hit, npack, rows, rpl, stats, sync_pack, fused,
-                stream_tris, packed16),
+                stream_tris, packed16, smem_meta, drain_gather),
         grid=(grid,),
         in_specs=[full] * 3 + [ray_spec] * 8,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((npack * STACK_DEPTH * (3 if fused else 1),),
+            pltpu.SMEM((npack * STACK_DEPTH * (3 if carry_meta else 1),),
                        jnp.int32),
             pltpu.SMEM((npack * QSTRIDE,), jnp.int32),
             pltpu.SMEM((npack * QSTRIDE,), jnp.int32),
@@ -566,11 +660,12 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.VMEM(bounds.shape, bounds.dtype),
-            pltpu.VMEM(meta.shape, meta.dtype),
+            meta_vmem,
             tri_scratch,
             pltpu.SemaphoreType.DMA,
         ] + ([pltpu.SemaphoreType.DMA((npack * QCAP,))] if stream_tris
              else [])
+          + ([pltpu.SMEM((2 * n_nodes,), jnp.int32)] if smem_meta else [])
           + ([pltpu.SMEM((4,), jnp.int32)] if stats else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(112 if fused else 100) * 1024 * 1024),
