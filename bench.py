@@ -119,7 +119,9 @@ def kernel_check(scene, n_rays=8192):
     lighttracing.cu:290-294), sorted-incoherent closest (PT bounces),
     rpl>1 multi-row leaves, fused node rows (the big-scene layout),
     the shared-sort closest+segment vertex dispatch, HBM-streamed tri
-    rows, and packed16 node rows.  Returns {path: "pass"|"fail"}."""
+    rows, packed16 node rows, and the extract-mode meta path (the
+    big-scene fallback; defaults auto-select SMEM meta at this node
+    count).  Returns {path: "pass"|"fail"}."""
     from evplp_tpu.accel.bvh import build_bvh
     from evplp_tpu.trace.intersect import (_any_brute_chunked,
                                            _closest_brute_chunked,
@@ -246,6 +248,26 @@ def kernel_check(scene, n_rays=8192):
     checks["packed16_streamed_closest"] = bool(
         (mp == mf).all()
         and np.allclose(np.asarray(t_p)[mp], np.asarray(hitf.t)[mp],
+                        rtol=1e-5))
+
+    # 9: extract-mode meta (smem_meta=False — the big-scene path where the
+    # node count exceeds the SMEM budget and meta words come from vector
+    # extracts) on the fused geometry vs the same oracle; the default
+    # paths above all auto-select SMEM meta at this node count
+    if cpu:
+        p3mod.set_interpret(True)
+    try:
+        t_x, p_x, _, _ = p3mod.packet3_trace(
+            bvhf.pk_tri_rows, bvhf.pk_meta, bvhf.pk_bounds,
+            None if bvhf.slot_order else bvhf.pk_prim_map,
+            o, d, 1e-4, 3.0e38, rpl=bvhf.rpl, fused=True, smem_meta=False)
+    finally:
+        if cpu:
+            p3mod.set_interpret(False)
+    mx = np.asarray(p_x) >= 0
+    checks["extract_meta_closest"] = bool(
+        (mx == mf).all()
+        and np.allclose(np.asarray(t_x)[mx], np.asarray(hitf.t)[mx],
                         rtol=1e-5))
 
     # 6: shared-sort NEE+extension trace (PT's per-vertex dispatch):
@@ -392,6 +414,16 @@ def main():
     except Exception as e:                      # pragma: no cover
         cap2m_tris, mrays_2m, ms_2m = -1, 0.0, 0.0
         print(f"# streamed capacity row failed: {e!r}", flush=True)
+    # ~6M: past STREAM_CAP -> packed16 node rows + streamed tri rows is
+    # the only packet path (VERDICT r3 #5; reference bar: Trbvh over
+    # arbitrary scene sizes, rtcomphoton.h:705-707)
+    try:
+        t6 = time.perf_counter()
+        cap6m_tris, mrays_6m, ms_6m = capacity_row(500000, 30.0)
+        build6_s = time.perf_counter() - t6
+    except Exception as e:                      # pragma: no cover
+        cap6m_tris, mrays_6m, ms_6m, build6_s = -1, 0.0, 0.0, 0.0
+        print(f"# packed16 capacity row failed: {e!r}", flush=True)
 
     # path-tracing throughput on the big scene (1 primary + per-bounce
     # extension + NEE shadow segment per pixel — upper-bound ray count)
@@ -479,6 +511,10 @@ def main():
         "capacity_2m_scene_tris": cap2m_tris,
         "capacity_2m_mrays_per_sec": round(mrays_2m, 2),
         "capacity_2m_ms_per_frame": round(ms_2m, 1),
+        "capacity_6m_scene_tris": cap6m_tris,
+        "capacity_6m_mrays_per_sec": round(mrays_6m, 2),
+        "capacity_6m_ms_per_frame": round(ms_6m, 1),
+        "capacity_6m_build_plus_frame_s": round(build6_s, 1),
         "pt_mrays_per_sec": round(pt_mrays, 2),
         "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
         "vsl_ms_per_frame": round(vsl_ms, 1),

@@ -48,6 +48,18 @@ LANES = 128
 NPLANE = 16
 NREC_F = 24
 MAX_VSL_SAMPLES = 101
+# Samples per while-loop iteration.  The adaptive loop is OVERHEAD-bound,
+# not math-bound: a gutted-step probe (tools/probe_vsl_tax.py, cornell
+# protocol frame) measured the 3-strategy math at 515 ms of a 2097 ms
+# frame.  But the overhead is NOT per-iteration: batching K masked
+# samples per iteration (tools/probe_vsl_unroll.py, same process,
+# identical checksums) measured unroll 1/4 = 1541/1709 ms — fatter
+# bodies LOSE (instruction footprint), so the residue lives in per-loop
+# ENTRY cost (~90k record-block while loops per frame) and the ctx/
+# plane traffic, neither of which unrolling touches.  Default 1.
+# The masking is estimator-exact at any K (draws are a pure function of
+# (pixel, record, s)), so the knob stays for the A/B record.
+SAMPLE_UNROLL = 1
 
 _INTERPRET = None  # None -> auto: interpret on CPU, compiled on TPU
 
@@ -335,16 +347,26 @@ def _kernel(group: int, rows: int):
                 cv1 = flux[1] * s_b2 * lv1 * f1c[1]
                 cv2 = flux[2] * s_b2 * lv2 * f1c[2]
 
-                use = s < num
+                # the MAX clamp must bind per SAMPLE, not only via the
+                # while bound: batched iterations step past s_needed, and
+                # a pixel with num > MAX_VSL_SAMPLES would otherwise
+                # collect extra draws in the overshoot
+                use = (s < num) & (s < MAX_VSL_SAMPLES)
                 a0, a1, a2 = acc
                 return (a0 + jnp.where(use, cn0 + cb0 + cv0, 0.0),
                         a1 + jnp.where(use, cn1 + cb1 + cv1, 0.0),
                         a2 + jnp.where(use, cn2 + cb2 + cv2, 0.0))
 
             zero = jnp.zeros_like(p[0])
+
+            def batch_step(c):
+                s, acc = c
+                for k in range(SAMPLE_UNROLL):
+                    acc = sample_step(s + k, acc)
+                return (s + SAMPLE_UNROLL, acc)
+
             acc = jax.lax.while_loop(
-                lambda c: c[0] < s_needed,
-                lambda c: (c[0] + 1, sample_step(c[0], c[1])),
+                lambda c: c[0] < s_needed, batch_step,
                 (jnp.int32(0), (zero, zero, zero)))[1]
             inv_n = 1.0 / jnp.maximum(num.astype(jnp.float32), 1.0)
             t0, t1, t2 = total

@@ -367,3 +367,25 @@ def test_packed16_auto_selection_uses_padded_slot_count(monkeypatch):
     assert it._stream_tris(tris_pad, bvh_auto)
     cap = it.PACKED16_CAP if bvh_auto.packed16 else it.STREAM_CAP
     assert padded <= cap
+
+
+@pytest.mark.parametrize("smem,gather", [(False, False), (False, True),
+                                         (True, False), (True, True)])
+def test_packet3_meta_mode_matrix(smem, gather):
+    """SMEM meta words and vector-domain drain gathers are pure layout /
+    scheduling variants: every (smem_meta, drain_gather) combination must
+    agree with the dense oracle exactly (smem is the auto default below
+    SMEM_META_NODE_CAP; extract meta stays the big-scene path;
+    drain_gather is the measured-rejected alternate)."""
+    tris, bvh = _scene(n=700, seed=9)
+    o, d = _rays(r=400, seed=13)
+    t, prim, u, v = packet3.packet3_trace(
+        bvh.pk_tri_rows, bvh.pk_meta, bvh.pk_bounds, bvh.pk_prim_map,
+        o, d, 1e-4, 3e38, rows=4, npack=2,
+        smem_meta=smem, drain_gather=gather)
+    ref = intersect_closest_brute(tris, o, d, t_min=1e-4, t_max=3e38)
+    np.testing.assert_array_equal(np.asarray(prim >= 0),
+                                  np.asarray(ref.prim >= 0))
+    m = np.asarray(prim >= 0)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
