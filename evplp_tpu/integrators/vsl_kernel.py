@@ -60,6 +60,14 @@ MAX_VSL_SAMPLES = 101
 # The masking is estimator-exact at any K (draws are a pure function of
 # (pixel, record, s)), so the knob stays for the A/B record.
 SAMPLE_UNROLL = 1
+# Branch (lax.cond) over the whole sample loop for gate-empty
+# (record, block) pairs.  MEASURED FLAT even on the occlusion-heavy
+# livingroom (tools/probe_vsl_skip.py sandwich: 3052/2999/3115 ms for
+# skip 1/0/1, checksum-identical) — the loop-entry residue is not
+# runtime-skippable (it lives in the instruction schedule, not in
+# executed work), closing the last cheap lever on the sample half.
+# Default off; knob kept for the A/B record.
+SKIP_EMPTY = False
 
 _INTERPRET = None  # None -> auto: interpret on CPU, compiled on TPU
 
@@ -365,9 +373,20 @@ def _kernel(group: int, rows: int):
                     acc = sample_step(s + k, acc)
                 return (s + SAMPLE_UNROLL, acc)
 
-            acc = jax.lax.while_loop(
-                lambda c: c[0] < s_needed, batch_step,
-                (jnp.int32(0), (zero, zero, zero)))[1]
+            def run_loop():
+                return jax.lax.while_loop(
+                    lambda c: c[0] < s_needed, batch_step,
+                    (jnp.int32(0), (zero, zero, zero)))[1]
+
+            if SKIP_EMPTY:
+                # branch over the whole sample loop when the block has no
+                # gated pixel for this record (occlusion-heavy scenes
+                # empty many (record, block) pairs; the residue cost
+                # analysis says loop ENTRY is what's worth skipping)
+                acc = jax.lax.cond(
+                    s_needed > 0, run_loop, lambda: (zero, zero, zero))
+            else:
+                acc = run_loop()
             inv_n = 1.0 / jnp.maximum(num.astype(jnp.float32), 1.0)
             t0, t1, t2 = total
             return (t0 + jnp.where(gate, acc[0] * inv_n, 0.0),
