@@ -58,7 +58,10 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int):
     v1 = np.ascontiguousarray(v1, np.float32)
     v2 = np.ascontiguousarray(v2, np.float32)
 
-    max_nodes = max(2 * num_tris, 8)
+    # ~4*N/leaf nodes in practice; the retry loop re-allocates exactly on
+    # overflow (builder returns -total), so undersizing is safe and avoids
+    # gigabyte-scale scratch at the 12M-triangle capacity tier.
+    max_nodes = max(8, 4 * num_tris // max(leaf_size, 1) + 64)
     for _ in range(2):
         node_min = np.empty((max_nodes, 3), np.float32)
         node_max = np.empty((max_nodes, 3), np.float32)
