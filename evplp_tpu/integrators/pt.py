@@ -20,8 +20,14 @@ Trace scheduling: the loop is organized per VERTEX, not per trace — at each
 vertex the NEE shadow segment and the sampled extension ray share an origin,
 so both ride ONE shared sort permutation
 (trace.intersect.closest_and_segment; the reference's two rtTrace calls per
-vertex).  RNG consumption is identical to the per-trace formulation: all of
-vertex v's decisions draw from fold_in(key, v).
+vertex).
+
+RNG: all of vertex v's decisions are counter draws on
+(GLOBAL pixel id ^ seed0, PT tag, v ^ seed1) — a pure function of global
+ids like the reference's per-(pixel, iteration) seeding
+(pathtracing.cu:364-365), so any pixel sharding/chunking draws identical
+numbers and sharded PT computes bit-for-bit the single-device estimator
+(parallel/shard.py sharded_pt_frame passes pixel_offset per device).
 """
 from __future__ import annotations
 
@@ -30,6 +36,7 @@ import jax.numpy as jnp
 
 from evplp_tpu.core import brdf
 from evplp_tpu.core import mathutil as mu
+from evplp_tpu.core import rng as crng
 from evplp_tpu.core.light import light_pdf_a, light_sample
 from evplp_tpu.core.sampling import uniform_not_one
 from evplp_tpu.integrators.gbuffer import GBuffer
@@ -131,12 +138,34 @@ def _process_hit(scene, prev_position, direction, brdf_pdf_w, attenuation,
     return result, next_position, geom_n, to_prev, kd, ks, ns, surface
 
 
+def _pt_vertex_draws(c0, s1, vert, with_rr):
+    """The 7 per-pixel uniforms of vertex `vert`: lobe select, 3 NEE light
+    draws, 2 BRDF-lobe draws, RR — two pcg4d calls on global-pixel counters."""
+    c1 = jnp.uint32(0x50545052)  # 'PTPR' stream tag
+    c2 = jnp.asarray(vert).astype(jnp.uint32) ^ s1
+    u_sel, n0, n1, n2 = crng.uniform4(c0, c1, c2, jnp.uint32(0))
+    l0, l1, u_rr, _ = crng.uniform4(c0, c1, c2, jnp.uint32(1))
+    u3 = jnp.stack([n0, n1, n2], axis=-1)
+    u_lobe = jnp.stack([l0, l1], axis=-1)
+    return u_sel, u3, u_lobe, (u_rr if with_rr else None)
+
+
 def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
-                    num_bounces: int, tile_shape=None) -> jnp.ndarray:
+                    num_bounces: int, tile_shape=None,
+                    pixel_offset=0) -> jnp.ndarray:
     """One 1-spp path-traced frame over all pixels; returns (N, 3) radiance
-    (excluding directly visible emission)."""
+    (excluding directly visible emission).
+
+    pixel_offset: global id of the first lane — per-pixel RNG draws are a
+    pure function of the GLOBAL pixel id, so row-sharded execution
+    reproduces the single-device estimator exactly."""
     n = gbuf.position.shape[0]
     cam_pos = jnp.asarray(scene.camera.origin, jnp.float32)
+
+    s0, s1 = crng.seeds_from_key(key)
+    pix = jnp.arange(n, dtype=jnp.uint32) + \
+        jnp.asarray(pixel_offset).astype(jnp.uint32)
+    c0 = pix ^ s0
 
     result = jnp.zeros((n, 3), jnp.float32)
     position = gbuf.position
@@ -147,15 +176,13 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
     active = (gbuf.stencil > 0.0) & ~black
 
     # ---- vertex 0 (peeled: no RR, pathtracing.cu:261-331) ----
-    k_sel, k_nee, k_lobe = jax.random.split(jax.random.fold_in(key, 0), 3)
+    u_sel, u3, u_lobe, _ = _pt_vertex_draws(c0, s1, 0, with_rr=False)
     p_l = brdf.p_select_lambert(gbuf.kd, gbuf.ks)
-    u_sel = uniform_not_one(jax.random.uniform(k_sel, (n,)))
+    u_sel = uniform_not_one(u_sel)
     chose_l = u_sel < p_l
 
-    u3 = jax.random.uniform(k_nee, (n, 3))
     l_pos, l_n, l_pdf, l_val = light_sample(scene.light, u3)
 
-    u_lobe = jax.random.uniform(k_lobe, (n, 2))
     direction, brdf_pdf_w, attenuation, _ = brdf.sample_combined(
         u_sel, u_lobe, inc, normal, normal, gbuf.kd, gbuf.ks, gbuf.ns)
 
@@ -181,23 +208,20 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
             scene, prev_position, direction, brdf_pdf_w, attenuation,
             active, hit, result)
 
-        kb = jax.random.fold_in(key, vert)
-        k_sel, k_nee, k_lobe, k_rr = jax.random.split(kb, 4)
-
+        u_sel, u3, u_lobe, u_rr = _pt_vertex_draws(c0, s1, vert,
+                                                   with_rr=True)
         p_l = brdf.p_select_lambert(kd, ks)
-        u_sel = uniform_not_one(jax.random.uniform(k_sel, (n,)))
+        u_sel = uniform_not_one(u_sel)
         chose_l = u_sel < p_l
 
-        u3 = jax.random.uniform(k_nee, (n, 3))
         l_pos, l_n, l_pdf, l_val = light_sample(scene.light, u3)
 
-        u_lobe = jax.random.uniform(k_lobe, (n, 2))
         new_dir, new_pdf, lobe_w, _ = brdf.sample_combined(
             u_sel, u_lobe, inc, geom_n, geom_n, kd, ks, ns)
         attenuation_new = attenuation * lobe_w
 
         russian = brdf.russian_prob_path(attenuation_new)
-        survive = jax.random.uniform(k_rr, (n,)) < russian
+        survive = u_rr < russian
         ext_active = surface & survive
 
         contrib = _nee_terms(scene, position, geom_n, inc, kd, ks, ns,

@@ -175,29 +175,38 @@ def sharded_photon_fam_frame(scene: SceneData, cfg: PhotonFamConfig,
 
 
 def sharded_pt_frame(scene: SceneData, mesh: Mesh, width: int, height: int,
-                     key, num_bounces: int, use_jitter: bool = True):
-    """Pixel-sharded path-tracing frame: embarrassingly data-parallel."""
+                     key, num_bounces: int, use_jitter: bool = True,
+                     jitter=None):
+    """Pixel-sharded path-tracing frame: embarrassingly data-parallel.
+
+    ESTIMATOR-IDENTICAL to the single-device frame: render_pt_frame's
+    per-pixel draws are counter draws on the GLOBAL pixel id (pt.py), so
+    each device renders exactly its rows of the one canonical image —
+    the same device-count invariance light_trace.py and vsl.py have.
+    `jitter` (2,) may be passed in to share the caller's per-frame camera
+    jitter; otherwise it derives from the frame key (same on all devices)."""
     n = mesh.devices.size
     rows = _local_rows(height, n)
+    if use_jitter and jitter is None:
+        u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
+        jitter = (2.0 * u - 1.0) / jnp.asarray([width, height], jnp.float32)
 
-    def frame(key):
+    def frame(key, jitter):
         d = jax.lax.axis_index(AXIS)
-        if use_jitter:
-            u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
-            jitter = (2.0 * u - 1.0) / jnp.asarray([width, height], jnp.float32)
-        else:
-            jitter = None
-        gbuf = trace_gbuffer(scene, width, height, jitter,
+        gbuf = trace_gbuffer(scene, width, height,
+                             jitter if use_jitter else None,
                              row_start=d * rows, row_count=rows)
-        img = render_pt_frame(scene, gbuf,
-                              jax.random.fold_in(key, d + 17), num_bounces,
-                              tile_shape=(rows, width))
+        img = render_pt_frame(scene, gbuf, key, num_bounces,
+                              tile_shape=(rows, width),
+                              pixel_offset=d * rows * width)
         return img, light_image(scene, gbuf)
 
+    if jitter is None:
+        jitter = jnp.zeros((2,), jnp.float32)
     fn = jax.jit(
-        jax.shard_map(frame, mesh=mesh, in_specs=(P(),),
+        jax.shard_map(frame, mesh=mesh, in_specs=(P(), P()),
                       out_specs=(P(AXIS), P(AXIS)), check_vma=False))
-    return fn(key)
+    return fn(key, jitter)
 
 
 def shard_state(state: FrameState, mesh: Mesh) -> FrameState:

@@ -348,11 +348,20 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
         def frame(acc, light_acc, key):
             result = jnp.zeros((n, 3), jnp.float32)
             light = light_acc
+            # one camera jitter per FRAME (matches the unsharded branch and
+            # the reference's per-frame jitter): derive from the frame key
+            # here so every sample shares it and the g-buffer is reusable
+            if p.use_jitter:
+                u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
+                jitter = (2.0 * u - 1.0) / jnp.asarray(
+                    [job.width, job.height], jnp.float32)
+            else:
+                jitter = None
             for s in range(p.num_sample_per_pixel):
                 img, light = sharded_pt_frame(
                     scene, mesh, job.width, job.height,
                     jax.random.fold_in(key, s), p.num_max_bounces,
-                    use_jitter=p.use_jitter)
+                    use_jitter=p.use_jitter, jitter=jitter)
                 result = result + img
             result = result / p.num_sample_per_pixel
             new_acc = acc + result if accumulate else result

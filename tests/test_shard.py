@@ -96,26 +96,24 @@ def test_sharded_accumulation_two_frames():
 
 
 def test_sharded_pt_matches_single_device():
+    """Sharded PT computes the SAME estimator as one device: per-pixel
+    draws are counter draws on the global pixel id (pt.py), so the only
+    difference is XLA fusion rounding — the same allclose bar the photon-family
+    variants get (VERDICT r4 #3; reference per-(pixel, iteration) seeding,
+    pathtracing.cu:364-365)."""
     scene = cornell_box()
     mesh = make_mesh(N_DEV)
     key = iteration_key(0, 3)
     img, light = sharded_pt_frame(scene, mesh, RES, RES, key, num_bounces=2,
                                   use_jitter=False)
-    # single-device reference with identical per-shard keys
-    rows = RES // N_DEV
-    parts = []
-    for d in range(N_DEV):
-        gb = trace_gbuffer(scene, RES, RES, row_start=d * rows,
-                           row_count=rows)
-        parts.append(render_pt(scene, gb, jax.random.fold_in(key, d + 17)))
-    ref = jnp.concatenate(parts)
+    ref = jax.jit(lambda k: render_pt(scene, trace_gbuffer(scene, RES, RES),
+                                      k))(key)
     got = np.asarray(img)
     want = np.asarray(ref)
-    # identical math modulo XLA fusion rounding; a flipped RR/branch decision
-    # on a lane changes that pixel entirely, so compare statistically
-    close = np.isclose(got, want, rtol=1e-4, atol=1e-6).all(axis=-1)
-    assert close.mean() > 0.97, f"only {close.mean():.3f} of pixels match"
-    np.testing.assert_allclose(got.mean(), want.mean(), rtol=0.02)
+    # bit-identical in practice (measured maxdiff 0.0 on the 8-dev CPU
+    # mesh); the tolerance absorbs cross-backend fusion rounding only
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+    assert np.isfinite(got).all() and got.max() > 0
     assert np.asarray(light).shape == (RES * RES, 3)
 
 
