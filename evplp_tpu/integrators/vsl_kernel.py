@@ -49,10 +49,10 @@ NPLANE = 16
 NREC_F = 24
 MAX_VSL_SAMPLES = 101
 # Samples per while-loop iteration.  The adaptive loop is OVERHEAD-bound,
-# not math-bound: a gutted-step probe (tools/probe_vsl_tax.py, cornell
+# not math-bound: a gutted-step probe (probe_vsl_tax run, NOTES.md; cornell
 # protocol frame) measured the 3-strategy math at 515 ms of a 2097 ms
 # frame.  But the overhead is NOT per-iteration: batching K masked
-# samples per iteration (tools/probe_vsl_unroll.py, same process,
+# samples per iteration (probe_vsl_unroll run, NOTES.md; same process,
 # identical checksums) measured unroll 1/4 = 1541/1709 ms — fatter
 # bodies LOSE (instruction footprint), so the residue lives in per-loop
 # ENTRY cost (~90k record-block while loops per frame) and the ctx/
@@ -62,7 +62,7 @@ MAX_VSL_SAMPLES = 101
 SAMPLE_UNROLL = 1
 # Branch (lax.cond) over the whole sample loop for gate-empty
 # (record, block) pairs.  MEASURED FLAT even on the occlusion-heavy
-# livingroom (tools/probe_vsl_skip.py sandwich: 3052/2999/3115 ms for
+# livingroom (probe_vsl_skip sandwich, NOTES.md: 3052/2999/3115 ms for
 # skip 1/0/1, checksum-identical) — the loop-entry residue is not
 # runtime-skippable (it lives in the instruction schedule, not in
 # executed work), closing the last cheap lever on the sample half.

@@ -1,184 +1,194 @@
-"""Equal-time technique comparison — the reference's benchmark protocol
-(SURVEY.md §6 / BASELINE.md): run each technique for the same wall-clock
-budget, compare MSE / RelMSE against a converged path-traced reference,
-optionally masking emitter pixels (scene/conference/README.md).
+"""Equal-time quality protocol — THE implementation (one code path).
 
-Usage:
-    python -m evplp_tpu.runtime.compare [--scene cornell|boxfield]
-        [--res 256] [--time-ms 15000] [--ref-iterations 2048]
+The reference's benchmark setup (SURVEY.md §6 / BASELINE.md): every
+technique runs the SAME shipped config for the same wall-clock budget
+through the production loop (`runtime/loop.py` — BudgetPacer pacing, one
+warm-up frame outside the clock, see QUALITY.md's protocol-deviation
+note), then masked MSE / RelMSE against a converged jittered-PT ground
+truth.  The error-metric convention is the reference's
+(floatimage.cpp:64-111) restricted to non-emitter pixels
+(scene/conference/README.md: "no AA on lightsource"), with the emitter
+mask dilated 2 px so jitter-AA'd edge pixels don't poison the metric.
+
+`tools/quality_r0N.py` are thin drivers of this module (they pick the
+artifact dir + scene list); QUALITY.md tables come from here and nowhere
+else.
+
+CLI:
+  python -m evplp_tpu.runtime.compare run <scene> [variants,..]
+  python -m evplp_tpu.runtime.compare gt <scene> <iters>
+  python -m evplp_tpu.runtime.compare report
+  (--art-dir / --configs / --budget-ms before the subcommand)
 """
 from __future__ import annotations
 
-import argparse
 import json
+import os
+import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from evplp_tpu.core.sampling import iteration_key
-from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
-from evplp_tpu.integrators.photon_fam import (
-    PhotonFamConfig, init_state, photon_fam_frame)
-from evplp_tpu.integrators.pt import render_pt_frame
-from evplp_tpu.runtime import film
-from evplp_tpu.utils import image as im
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+CONFIGS = os.path.join(REPO, "configs")
+VARIANTS = ("pt", "pm", "vpl", "vsl", "ours", "ours_progressive")
+BUDGET_MS = 15000.0
 
 
-def converged_pt(scene, res: int, iterations: int, num_bounces: int = 3):
-    """Accumulated jittered PT as the ground-truth image (+ emitter mask)."""
-    import time
-    n = res * res
-
-    @jax.jit
-    def frame(acc, key):
-        u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
-        jitter = (2.0 * u - 1.0) / jnp.asarray([res, res], jnp.float32)
-        gbuf = trace_gbuffer(scene, res, res, jitter)
-        r = render_pt_frame(scene, gbuf, key, num_bounces)
-        return acc + r, light_image(scene, gbuf)
-
-    acc = jnp.zeros((n, 3), jnp.float32)
-    light = None
-    t0 = time.perf_counter()
-    for i in range(iterations):
-        acc, light = frame(acc, iteration_key(0, i))
-    jax.block_until_ready(acc)
-    out = film.composite(acc, jnp.zeros_like(acc), light,
-                         vpl_scale=1.0 / iterations, photon_scale=0.0)
-    mask = np.asarray(light[:, 0] <= 0.0).reshape(res, res).astype(np.float64)
-    return (film.to_image(out, res, res), mask,
-            (time.perf_counter() - t0) * 1000.0)
+def _setup_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/evplp_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def run_technique(scene, res: int, time_ms: float, name: str,
-                  num_light_paths: int, num_vpl: int, mis_mode: int,
-                  radius_pct: float, progressive: bool = False,
-                  num_bounces: int = 3, do_photon: bool = True,
-                  force_vsl: bool = False, vsl_pct: float = 0.05):
-    """Equal-time run of one photon-family variant; returns final image."""
-    import time
-    from evplp_tpu.runtime.loop import ProgressiveSchedule
-
-    cfg = PhotonFamConfig(
-        width=res, height=res, num_light_paths=num_light_paths,
-        num_vpl_light_paths=num_vpl, num_records=num_bounces + 1,
-        mis_mode=mis_mode, accumulate=True, use_jitter=True,
-        do_photon=do_photon, force_vsl=force_vsl,
-        splat_tile=8, splat_cap=192, splat_span=2,
-    )
-    radius0 = max(scene.bounding_radius * radius_pct, 1e-6)
-    vsl0 = max(scene.bounding_radius * vsl_pct, 0.008) if force_vsl else 0.0
-    sched = ProgressiveSchedule(radius0, 1.0 / scene.total_area, 0.7,
-                                num_vpl, num_light_paths, vsl0)
-    # warm-up frame: JIT compile is the analogue of the reference's setup()
-    # PTX compile, which its timeLimitMs clock also excludes
-    warm = photon_fam_frame(
-        scene, cfg, init_state(cfg), iteration_key(0, 0),
-        jnp.float32(sched.radius), jnp.float32(sched.clamp),
-        jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius))
-    jax.block_until_ready(warm.vpl_acc)
-
-    state = init_state(cfg)
-    iters = 0
-    t0 = time.perf_counter()
-    while True:
-        state = photon_fam_frame(
-            scene, cfg, state, iteration_key(0, iters),
-            jnp.float32(sched.radius), jnp.float32(sched.clamp),
-            jnp.float32(sched.pdf_mc), jnp.float32(sched.vsl_radius))
-        iters += 1
-        if progressive:
-            sched.update(iters)
-        jax.block_until_ready(state.vpl_acc)
-        if (time.perf_counter() - t0) * 1000.0 >= time_ms:
-            break
-    p = 1.0 / iters
-    img = film.to_image(state.light_img + (state.vpl_acc + state.photon_acc) * p,
-                        res, res)
-    return img, iters
+def load_variant(scene: str, variant: str, configs: str = CONFIGS):
+    from evplp_tpu.scene.config import load_config
+    return load_config(os.path.join(configs, scene,
+                                    f"{scene}_{variant}.json"))
 
 
-def run_pt_equal_time(scene, res: int, time_ms: float, num_bounces: int = 3):
-    import time
-    n = res * res
+def run_techniques(scene: str, variants=VARIANTS, art: str = None,
+                   configs: str = CONFIGS, budget_ms: float = BUDGET_MS):
+    """Equal-time runs of the shipped config variants through the
+    production loop; one .npz artifact per (scene, variant)."""
+    from evplp_tpu.runtime.loop import run_photon_fam, run_pt
+    _setup_cache()
+    os.makedirs(art, exist_ok=True)
+    for variant in variants:
+        job = load_variant(scene, variant, configs)
+        p = job.params
+        p.combined_filename = p.weighted_photon_filename = ""
+        p.weighted_vpl_filename = p.output_filename = ""
+        p.stat_filename = ""
+        runner = run_pt if p.technique == "pt" else run_photon_fam
 
-    @jax.jit
-    def frame(acc, key):
-        u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
-        jitter = (2.0 * u - 1.0) / jnp.asarray([res, res], jnp.float32)
-        gbuf = trace_gbuffer(scene, res, res, jitter)
-        return acc + render_pt_frame(scene, gbuf, key, num_bounces), \
-            light_image(scene, gbuf)
+        # warm the jits OUTSIDE the budget (the reference compiles its
+        # OptiX/GLSL programs in setup(), before its timer starts)
+        p.num_max_iteration, p.time_limit_ms = 1, -1.0
+        runner(job)
+        p.num_max_iteration, p.time_limit_ms = -1, budget_ms
 
-    warm, _ = frame(jnp.zeros((n, 3), jnp.float32), iteration_key(7, 0))
-    jax.block_until_ready(warm)
+        t0 = time.time()
+        result = runner(job)
+        key = "output" if p.technique == "pt" else "combined"
+        np.savez_compressed(
+            os.path.join(art, f"{scene}_{variant}.npz"),
+            img=result.images[key].astype(np.float32),
+            iters=result.num_iterations, time_ms=result.time_ms)
+        print(f"{scene}_{variant}: {result.num_iterations} iters in "
+              f"{result.time_ms:.0f} ms (wall {time.time()-t0:.0f}s) "
+              f"{result.stats}", flush=True)
 
-    acc = jnp.zeros((n, 3), jnp.float32)
-    light = None
-    iters = 0
-    t0 = time.perf_counter()
-    while True:
-        acc, light = frame(acc, iteration_key(7, iters))
-        iters += 1
-        jax.block_until_ready(acc)
-        if (time.perf_counter() - t0) * 1000.0 >= time_ms:
-            break
-    out = film.composite(acc, jnp.zeros_like(acc), light,
-                         vpl_scale=1.0 / iters, photon_scale=0.0)
-    return film.to_image(out, res, res), iters
+
+def emitter_mask(job) -> np.ndarray:
+    """True on pixels USED by the metrics: not on (or within 2 px of)
+    the directly visible emitter."""
+    from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
+    gbuf = trace_gbuffer(job.scene, job.width, job.height, None)
+    li = np.asarray(light_image(job.scene, gbuf))
+    lit = (li.sum(axis=-1) > 0.0).reshape(job.height, job.width)
+    for _ in range(2):
+        d = lit.copy()
+        d[1:, :] |= lit[:-1, :]
+        d[:-1, :] |= lit[1:, :]
+        d[:, 1:] |= lit[:, :-1]
+        d[:, :-1] |= lit[:, 1:]
+        lit = d
+    return ~lit
+
+
+def run_gt(scene: str, iters: int, art: str = None,
+           configs: str = CONFIGS):
+    """Converged jittered-PT ground truth + the dilated emitter mask."""
+    from evplp_tpu.runtime.loop import run_pt
+    _setup_cache()
+    os.makedirs(art, exist_ok=True)
+    job = load_variant(scene, "pt", configs)
+    p = job.params
+    p.output_filename = p.stat_filename = ""
+    p.num_max_iteration, p.time_limit_ms = iters, -1.0
+    t0 = time.time()
+    result = run_pt(job)
+    np.savez_compressed(os.path.join(art, f"{scene}_gt.npz"),
+                        img=result.images["output"].astype(np.float32),
+                        mask=emitter_mask(job),
+                        iters=result.num_iterations)
+    print(f"{scene}_gt: {result.num_iterations} iters in "
+          f"{time.time()-t0:.0f}s wall", flush=True)
+
+
+def masked_mse(img, ref, mask):
+    """Mean over MASKED pixels of ||rgb diff||^2 (floatimage.cpp:64-84
+    restricted to the mask, the conference-README convention)."""
+    d = ((img - ref) ** 2).sum(axis=-1)
+    return float(d[mask].mean())
+
+
+def masked_rel_mse(img, ref, mask):
+    """Masked mean of ||diff||^2 / (||ref||^2 + 0.001)
+    (floatimage.cpp:86-111 with the mask as pixel subset, not a
+    multiplier)."""
+    d = ((img - ref) ** 2).sum(axis=-1)
+    den = (ref ** 2).sum(axis=-1) + 1e-3
+    return float((d / den)[mask].mean())
+
+
+def report(scenes, art: str, variants=VARIANTS,
+           budget_ms: float = BUDGET_MS):
+    rows = []
+    for scene in scenes:
+        gt_path = os.path.join(art, f"{scene}_gt.npz")
+        if not os.path.exists(gt_path):
+            continue
+        gt = np.load(gt_path)
+        ref, mask = gt["img"], gt["mask"]
+        for variant in variants:
+            path = os.path.join(art, f"{scene}_{variant}.npz")
+            if not os.path.exists(path):
+                continue
+            z = np.load(path)
+            t_ms = float(z["time_ms"])
+            rows.append({
+                "scene": scene, "variant": variant,
+                "iters": int(z["iters"]), "time_ms": t_ms,
+                "budget_dev_pct": round(
+                    (t_ms - budget_ms) * 100.0 / budget_ms, 1),
+                "mse": masked_mse(z["img"], ref, mask),
+                "rel_mse": masked_rel_mse(z["img"], ref, mask),
+                "gt_iters": int(gt["iters"]),
+            })
+    print(json.dumps(rows, indent=1))
+    return rows
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="cornell",
-                    choices=("cornell", "boxfield", "glossy"))
-    ap.add_argument("--res", type=int, default=256)
-    ap.add_argument("--time-ms", type=float, default=15000.0)
-    ap.add_argument("--ref-iterations", type=int, default=1024)
-    ap.add_argument("--light-paths", type=int, default=100_000)
-    args = ap.parse_args(argv)
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/evplp_jax_cache")
-
-    from evplp_tpu.scene.procedural import box_field, cornell_box, glossy_box
-    scene = {"cornell": cornell_box, "boxfield": box_field,
-             "glossy": glossy_box}[args.scene]()
-
-    ref, mask, ref_ms = converged_pt(scene, args.res, args.ref_iterations)
-    print(f"# reference: {args.ref_iterations} PT iterations "
-          f"in {ref_ms / 1000.0:.1f}s")
-
-    lp = args.light_paths
-    techniques = {
-        "ours": dict(num_light_paths=lp, num_vpl=30, mis_mode=1,
-                     radius_pct=0.003),
-        "ours_clamped": dict(num_light_paths=lp, num_vpl=30, mis_mode=4,
-                             radius_pct=0.003),
-        "ours_progressive": dict(num_light_paths=lp, num_vpl=30, mis_mode=1,
-                                 radius_pct=0.003, progressive=True),
-        "pm": dict(num_light_paths=lp, num_vpl=0, mis_mode=0,
-                   radius_pct=0.003),
-        "vpl": dict(num_light_paths=30, num_vpl=30, mis_mode=0,
-                    radius_pct=0.0, do_photon=False),
-        "vpl_clamped_only": dict(num_light_paths=lp, num_vpl=30, mis_mode=4,
-                                 radius_pct=0.003, do_photon=False),
-    }
-    results = {}
-    for name, kw in techniques.items():
-        img, iters = run_technique(scene, args.res, args.time_ms, name, **kw)
-        results[name] = {
-            "iterations": iters,
-            "mse": im.mse(img, ref, mask),
-            "relmse": im.rel_mse(img, ref, mask),
-        }
-        print(json.dumps({"technique": name, **results[name]}))
-
-    img, iters = run_pt_equal_time(scene, args.res, args.time_ms)
-    results["pt"] = {"iterations": iters, "mse": im.mse(img, ref, mask),
-                     "relmse": im.rel_mse(img, ref, mask)}
-    print(json.dumps({"technique": "pt", **results["pt"]}))
-    return results
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--art-dir", default=os.path.join(
+        REPO, "bench_artifacts", "quality"))
+    ap.add_argument("--configs", default=CONFIGS)
+    ap.add_argument("--budget-ms", type=float, default=BUDGET_MS)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("run")
+    r.add_argument("scene")
+    r.add_argument("variants", nargs="?", default=",".join(VARIANTS))
+    g = sub.add_parser("gt")
+    g.add_argument("scene")
+    g.add_argument("iters", type=int)
+    rep = sub.add_parser("report")
+    rep.add_argument("scenes", nargs="?",
+                     default="cornell,glossy,livingroom,box_field")
+    a = ap.parse_args(argv)
+    if a.cmd == "run":
+        run_techniques(a.scene, tuple(a.variants.split(",")), a.art_dir,
+                       a.configs, a.budget_ms)
+    elif a.cmd == "gt":
+        run_gt(a.scene, a.iters, a.art_dir, a.configs)
+    else:
+        report(tuple(a.scenes.split(",")), a.art_dir,
+               budget_ms=a.budget_ms)
 
 
 if __name__ == "__main__":

@@ -360,13 +360,20 @@ SORT_BITS = int(_os.environ.get("EVPLP_SORT_BITS", "4"))
 SORT_MORTON = _os.environ.get("EVPLP_SORT_MORTON", "0") not in ("0", "")
 # Direction-quantization bits per axis BETWEEN the octant and the origin
 # cell: packets of a (octant, |dir| bucket) share a tighter direction
-# CONE.  MEASURED-REJECTED (tools/probe_dq.py sandwich, 1M bounce rays
+# CONE.  MEASURED-REJECTED (probe_dq sandwich, NOTES.md, 1M bounce rays
 # at 147k tris: 88.6 / 221.9 / 93.0 ms for dq 0/2/0) — tightening the
 # cone fragments origin runs so badly that each packet's spatial
 # footprint explodes; origin coherence is worth more than direction
 # coherence at every granularity past the octant.  Default 0.
 SORT_DQ = int(_os.environ.get("EVPLP_SORT_DQ", "0"))
-# all-dead lanes sort past any real key (octant 3 + 3*dq + 3*bits < 28)
+# all-dead lanes sort past any real key (octant 3 + 3*dq + 3*bits < 28);
+# the env-derived bit budget must fit or live keys would exceed the dead
+# key and silently break the dead-lane tail clustering
+if not (0 <= SORT_DQ and 0 <= SORT_BITS
+        and 3 + 3 * SORT_DQ + 3 * SORT_BITS < 28):
+    raise ValueError(
+        f"EVPLP_SORT_BITS={SORT_BITS} / EVPLP_SORT_DQ={SORT_DQ}: sort key "
+        "needs 3 + 3*dq + 3*bits < 28 bits (dead-lane key budget)")
 _DEAD_KEY = jnp.int32(1) << 28
 
 

@@ -628,6 +628,17 @@ def packet3_trace(tri_rows, meta, bounds, prim_map, o, d, t_min, t_max,
         # interleaved (w0_0, w1_0, w0_1, ...) — the kernel DMA's this
         # straight into SMEM at grid step 0.  9-bit count field (the fused
         # bounds-lane encoding's 6 bits only covers leaf <= 42 builds)
+        if n_nodes > SMEM_META_NODE_CAP:
+            raise ValueError(
+                f"smem_meta: {n_nodes} nodes exceeds SMEM_META_NODE_CAP "
+                f"({SMEM_META_NODE_CAP})")
+        if not isinstance(meta, jax.core.Tracer):
+            import numpy as _np
+            _max_count = int(_np.asarray(meta[:, 0]).max(initial=0))
+            if _max_count >= 512:
+                raise ValueError(
+                    f"smem_meta: leaf count {_max_count} overflows the "
+                    "9-bit w0 field (leaf_size must be < 512)")
         w0 = meta[:, 0] | (meta[:, 1] << 9)
         w1 = (meta[:, 2] << 2) | meta[:, 3]
         meta = jnp.stack([w0, w1], axis=1).reshape(-1)

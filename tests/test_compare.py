@@ -1,24 +1,50 @@
-"""Smoke test for the equal-time comparison harness (runtime/compare.py)."""
+"""Smoke test for the equal-time protocol (runtime/compare.py) — the ONE
+implementation behind the QUALITY tables (tools/quality_r0N.py are thin
+drivers of it)."""
+import json
+import os
+
 import numpy as np
 
-from evplp_tpu.runtime.compare import (
-    converged_pt, run_pt_equal_time, run_technique)
-from evplp_tpu.scene.procedural import plane_light_scene
+from evplp_tpu.runtime import compare
+from evplp_tpu.scene.export import technique_block, write_spec_config
+from evplp_tpu.scene.procedural import cornell_spec
 
-RES = 12
+RES = 16
 
 
-def test_compare_harness_smoke():
-    scene = plane_light_scene()
-    ref, mask, _ = converged_pt(scene, RES, iterations=4, num_bounces=2)
-    assert ref.shape == (RES, RES, 3) and np.isfinite(ref).all()
-    assert mask.shape == (RES, RES)
+def _mini_configs(root):
+    """A shipped-tree-shaped mini config dir: <root>/cornell/cornell_*.json
+    at 16x16 with tiny path counts so each frame is milliseconds."""
+    scene_dir = os.path.join(root, "cornell")
+    spec = cornell_spec()
+    first = True
+    for variant in ("pt", "ours"):
+        tech, block = technique_block(variant, "cornell", False, 200.0)
+        block["numLightPaths"] = min(block.get("numLightPaths", 128), 256)
+        block["numVplLightPaths"] = min(block.get("numVplLightPaths", 8), 8)
+        block["numMaxBounces"] = 2
+        write_spec_config(scene_dir, "cornell", spec, tech, block,
+                          f"cornell_{variant}", RES, RES, write_objs=first)
+        first = False
+    return root
 
-    img, iters = run_technique(scene, RES, time_ms=1.0, name="x",
-                               num_light_paths=32, num_vpl=4, mis_mode=1,
-                               radius_pct=0.05, num_bounces=2)
-    assert iters >= 1
-    assert img.shape == (RES, RES, 3) and np.isfinite(img).all()
 
-    img2, iters2 = run_pt_equal_time(scene, RES, time_ms=1.0, num_bounces=2)
-    assert iters2 >= 1 and np.isfinite(img2).all()
+def test_protocol_end_to_end(tmp_path):
+    configs = _mini_configs(str(tmp_path / "configs"))
+    art = str(tmp_path / "art")
+
+    compare.run_gt("cornell", iters=3, art=art, configs=configs)
+    gt = np.load(os.path.join(art, "cornell_gt.npz"))
+    assert gt["img"].shape == (RES, RES, 3) and np.isfinite(gt["img"]).all()
+    assert gt["mask"].dtype == bool and gt["mask"].any()
+
+    compare.run_techniques("cornell", ("pt", "ours"), art=art,
+                           configs=configs, budget_ms=200.0)
+    rows = compare.report(("cornell",), art, variants=("pt", "ours"),
+                          budget_ms=200.0)
+    assert {r["variant"] for r in rows} == {"pt", "ours"}
+    for r in rows:
+        assert r["iters"] >= 1
+        assert np.isfinite(r["mse"]) and np.isfinite(r["rel_mse"])
+        json.dumps(r)  # rows are JSON-serializable

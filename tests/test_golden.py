@@ -64,3 +64,25 @@ def test_golden_ours_clamped_progressive(tmp_path):
                  weightedVplFilename="")
     _check_golden("ours_prog",
                   _render(tmp_path, "photonfam", block, "gprog"))
+
+
+def test_golden_vsl(tmp_path):
+    """VSL (forceVsl photonfam) golden — the most quirk-laden estimator
+    (3-strategy MIS + reference pdf quirks); a silent drift here previously
+    would only surface in the next full QUALITY protocol run (VERDICT r4 #7)."""
+    block = dict(COMMON, numLightPaths=64, numVplLightPaths=64,
+                 numMaxBounces=2, radiusPercentage=0.0,
+                 forceVsl=True, vslRadiusPercentage=0.05,
+                 misMode="one",
+                 combinedFilename="", weightedPhotonFilename="",
+                 weightedVplFilename="")
+    _check_golden("vsl", _render(tmp_path, "photonfam", block, "gvsl"))
+
+
+def test_golden_lvc(tmp_path):
+    """LVC (lvcphotonfam) golden — per-pixel window gathers."""
+    block = dict(COMMON, numLightPaths=128, numVplLightPaths=8,
+                 numMaxBounces=2, radiusPercentage=0.05,
+                 combinedFilename="", weightedPhotonFilename="",
+                 weightedVplFilename="")
+    _check_golden("lvc", _render(tmp_path, "lvcphotonfam", block, "glvc"))
