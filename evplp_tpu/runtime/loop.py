@@ -318,6 +318,13 @@ def finalize(state: FrameState, cfg: PhotonFamConfig, iters: int,
     light = film.to_image(state.light_img, job.width, job.height)
     vpl = film.to_image(state.vpl_acc, job.width, job.height) * param
     photon = film.to_image(state.photon_acc, job.width, job.height) * param
+    # final.frag's step-mask: GI terms are zeroed on directly visible
+    # emitter pixels (film.composite:21-22).  With the reference's black
+    # emitter material both estimators are exactly 0 there anyway; the
+    # mask keeps the invariant local instead of two modules apart.
+    gi_mask = (light[:, :, 0:1] <= 0.0).astype(np.float32)
+    vpl = gi_mask * vpl
+    photon = gi_mask * photon
     out = {
         "combined": light + vpl + photon,
         "weighted_vpl": light + vpl,
