@@ -352,6 +352,40 @@ def control_shadow_ms(scene, reps: int = 6):
 CONTROL_REF_MS = 10.8
 
 
+def control_pt_ms(scene, reps: int = 4):
+    """Pinned PT-FRAME drift control (VERDICT r4 #6): 256^2, 3 bounces,
+    fixed key sequence, on the 102k-tri headline scene.  The shadow-kernel
+    control does not track the PT/VSL frame regimes (they drift
+    independently — NOTES round-4 bench preview), so frame-level absolutes
+    get their own pinned control.  Chained accumulation defeats the
+    tunnel's result cache; one compile, one end fence."""
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.pt import render_pt_frame
+
+    side = 256
+
+    @jax.jit
+    def step(acc, key):
+        gbuf = trace_gbuffer(scene, side, side, None)
+        return acc + render_pt_frame(scene, gbuf, key, NUM_BOUNCES,
+                                     tile_shape=(side, side))
+
+    acc = jnp.zeros((side * side, 3), jnp.float32)
+    acc = step(acc, iteration_key(9, 0))
+    np.asarray(jax.device_get(acc[0]))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        acc = step(acc, iteration_key(9, 1 + i))
+    np.asarray(jax.device_get(acc[0]))
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
+# Pinned reference for the PT-frame control (ms/frame), measured in the
+# round-5 build session on TPU v5e.  Same rule as CONTROL_REF_MS: never
+# update without renaming the metric.
+CONTROL_PT_REF_MS = 47.0
+
+
 def live_segment_fraction(scene):
     """Fraction of pixel x VPL shadow segments that are actually traced
     (the pre-cull skips backfacing/unusable/sky pairs, vpl.py:52-64).
@@ -389,6 +423,7 @@ def main():
     check = kernel_check(big)
     live_frac = live_segment_fraction(big)
     ctrl_ms = control_shadow_ms(big)
+    ctrl_pt_ms = control_pt_ms(big)
 
     mrays_big, ms_big, frames_big, dropped_big = evplp_rate(big)
 
@@ -430,13 +465,17 @@ def main():
     from evplp_tpu.integrators.gbuffer import trace_gbuffer
     from evplp_tpu.integrators.pt import render_pt_frame
 
+    # protocol resolution (1280x720 — BASELINE.md; round 4 measured 1024^2,
+    # a needless 12%-pixel divergence from the number being chased)
+    PT_W, PT_H = 1280, 720
+
     @jax.jit
     def pt_frame(acc, key):
-        gbuf = trace_gbuffer(big, RES, RES, None)
+        gbuf = trace_gbuffer(big, PT_W, PT_H, None)
         return acc + render_pt_frame(big, gbuf, key, NUM_BOUNCES,
-                                     tile_shape=(RES, RES))
+                                     tile_shape=(PT_H, PT_W))
 
-    n_px = RES * RES
+    n_px = PT_W * PT_H
     acc = jnp.zeros((n_px, 3), jnp.float32)
     acc = pt_frame(acc, iteration_key(1, 0))
     np.asarray(jax.device_get(acc[0]))
@@ -517,8 +556,19 @@ def main():
         "capacity_6m_build_plus_frame_s": round(build6_s, 1),
         "pt_mrays_per_sec": round(pt_mrays, 2),
         "pt_ms_per_frame": round(pt_elapsed / pt_frames * 1000.0, 1),
+        "pt_resolution": f"{PT_W}x{PT_H}",
         "vsl_ms_per_frame": round(vsl_ms, 1),
         "vsl_protocol": "1280x720, 100 paths, r%=0.05 (cornell_vsl.json)",
+        # frame-level drift control (VERDICT r4 #6): the PT/VSL frame
+        # regime drifts independently of the shadow kernel; normalize
+        # frame times as ms * CONTROL_PT_REF_MS / control_pt_ms
+        "control_pt_ms_per_frame": round(ctrl_pt_ms, 2),
+        "control_pt_ref_ms_per_frame": CONTROL_PT_REF_MS,
+        "normalized_pt_ms_per_frame": round(
+            pt_elapsed / pt_frames * 1000.0 * CONTROL_PT_REF_MS
+            / ctrl_pt_ms, 1),
+        "normalized_vsl_ms_per_frame": round(
+            vsl_ms * CONTROL_PT_REF_MS / ctrl_pt_ms, 1),
     }))
 
 

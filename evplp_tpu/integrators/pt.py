@@ -31,6 +31,8 @@ numbers and sharded PT computes bit-for-bit the single-device estimator
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -43,7 +45,17 @@ from evplp_tpu.integrators.gbuffer import GBuffer
 from evplp_tpu.scene.scene import SceneData
 from evplp_tpu.scene.textures import fetch_hit_shading
 from evplp_tpu.trace.intersect import (Hit, closest_and_segment,
+                                       closest_and_segment_carry,
                                        intersect_closest, occluded_segment)
+
+# Sorted-state-ACROSS-bounces (roadmap 2a / VERDICT r4 #5): the scan body
+# keeps path state in each vertex's sorted order (the trace's carry-column
+# row gather permutes it for free), dropping the per-vertex inverse
+# permutation; one scatter restores pixel order at frame end.  RNG draws
+# key on a carried pixel-index column, so the estimator stream is
+# IDENTICAL to the pixel-order formulation.  "0" restores the
+# inverse-permute-per-vertex path (A/B sandwich knob).
+SORTED_CARRY = _os.environ.get("EVPLP_PT_SORTED_CARRY", "1") not in ("0",)
 
 
 def _emit_profile(light_n, to_prev, exponent):
@@ -199,16 +211,22 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
     # (the reference's closest-hit program, pathtracing.cu:112-228).
     # lax.scan over the vertex index: the body compiles once regardless of
     # num_bounces (an unrolled loop compiled ~3x slower for no gain)
+    pixel_offset_u = jnp.asarray(pixel_offset).astype(jnp.uint32)
+
     def vertex_body(carry, vert):
         (result, prev_position, direction, brdf_pdf_w, attenuation,
-         active, hit_t, hit_prim, hit_u, hit_v) = carry
+         active, hit_t, hit_prim, hit_u, hit_v, c_idx) = carry
         hit = Hit(t=hit_t, prim=hit_prim, u=hit_u, v=hit_v)
 
         result, position, geom_n, inc, kd, ks, ns, surface = _process_hit(
             scene, prev_position, direction, brdf_pdf_w, attenuation,
             active, hit, result)
 
-        u_sel, u3, u_lobe, u_rr = _pt_vertex_draws(c0, s1, vert,
+        # c_idx: f32 LOCAL pixel index in the current lane order (exact
+        # for n < 2^24) — global-pixel-id counter draws survive the
+        # sorted-carry permutation unchanged
+        c0v = (c_idx.astype(jnp.uint32) + pixel_offset_u) ^ s0
+        u_sel, u3, u_lobe, u_rr = _pt_vertex_draws(c0v, s1, vert,
                                                    with_rr=True)
         p_l = brdf.p_select_lambert(kd, ks)
         u_sel = uniform_not_one(u_sel)
@@ -228,6 +246,30 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
                              attenuation, chose_l, p_l, l_pos, l_n, l_pdf,
                              l_val)
         nee_live = surface & jnp.any(contrib != 0.0, axis=1)
+        ext_attenuation = jnp.where(
+            ext_active[:, None],
+            attenuation_new / jnp.maximum(russian, 1e-8)[:, None],
+            attenuation,
+        )
+
+        if SORTED_CARRY:
+            t_max_ext = jnp.where(ext_active, jnp.float32(3.0e38),
+                                  jnp.float32(0.0))
+            cols = jnp.concatenate(
+                [result, ext_attenuation, contrib,
+                 nee_live.astype(jnp.float32)[:, None],
+                 ext_active.astype(jnp.float32)[:, None],
+                 new_pdf[:, None], c_idx[:, None]], axis=1)
+            new_hit, occluded, o_s, d_s, cs = closest_and_segment_carry(
+                scene.tris, scene.bvh, position, new_dir, 1e-5, t_max_ext,
+                l_pos, cols, seg_eps=1e-5, seg_live=nee_live)
+            nee_live_s = cs[:, 9] > 0.5
+            result = cs[:, 0:3] + jnp.where(
+                (nee_live_s & ~occluded)[:, None], cs[:, 6:9], 0.0)
+            return (result, o_s, d_s, cs[:, 11], cs[:, 3:6],
+                    cs[:, 10] > 0.5, new_hit.t, new_hit.prim,
+                    new_hit.u, new_hit.v, cs[:, 12]), None
+
         new_hit, occluded = _vertex_traces(
             scene, position, new_dir, ext_active, l_pos, nee_live,
             shadow_eps=1e-5, tile_shape=None)
@@ -235,21 +277,17 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
         result = result + jnp.where((nee_live & ~occluded)[:, None],
                                     contrib, 0.0)
 
-        ext_attenuation = jnp.where(
-            ext_active[:, None],
-            attenuation_new / jnp.maximum(russian, 1e-8)[:, None],
-            attenuation,
-        )
         direction = jnp.where(ext_active[:, None], new_dir, direction)
         brdf_pdf_w = jnp.where(ext_active, new_pdf, brdf_pdf_w)
         prev_position = jnp.where(ext_active[:, None], position,
                                   prev_position)
         return (result, prev_position, direction, brdf_pdf_w,
                 ext_attenuation, ext_active, new_hit.t, new_hit.prim,
-                new_hit.u, new_hit.v), None
+                new_hit.u, new_hit.v, c_idx), None
 
     carry = (result, position, direction, brdf_pdf_w, attenuation, active,
-             hit.t, hit.prim, hit.u, hit.v)
+             hit.t, hit.prim, hit.u, hit.v,
+             jnp.arange(n, dtype=jnp.float32))
     if num_bounces > 1:
         carry, _ = jax.lax.scan(
             vertex_body, carry,
@@ -258,8 +296,12 @@ def render_pt_frame(scene: SceneData, gbuf: GBuffer, key,
     # ---- final vertex: emission only (no NEE, no continuation — prd.done
     # is set before the last rtTrace in the reference) ----
     (result, prev_position, direction, brdf_pdf_w, attenuation, active,
-     hit_t, hit_prim, hit_u, hit_v) = carry
+     hit_t, hit_prim, hit_u, hit_v, c_idx) = carry
     result, *_ = _process_hit(
         scene, prev_position, direction, brdf_pdf_w, attenuation, active,
         Hit(t=hit_t, prim=hit_prim, u=hit_u, v=hit_v), result)
+    if SORTED_CARRY and num_bounces > 1:
+        # one scatter restores pixel order (unique indices: a permutation)
+        result = jnp.zeros_like(result).at[c_idx.astype(jnp.int32)].set(
+            result)
     return result

@@ -166,6 +166,37 @@ def technique_block(variant: str, scene: str, progressive: bool,
 VARIANTS = ("pt", "pm", "vpl", "vsl", "ours")
 
 
+def write_scene_matrix(out_dir: str, scene: str, spec: dict,
+                       res=(1280, 720),
+                       time_limit_ms: float = 15000.0) -> list[str]:
+    """One scene's 10 variant configs (+ OBJs once) under
+    <out_dir>/<scene>/."""
+    scene_dir = os.path.join(out_dir, scene)
+    paths = []
+    first = True
+    for variant in VARIANTS:
+        for progressive in (False, True):
+            suffix = "_progressive" if progressive else ""
+            tech, block = technique_block(variant, scene, progressive,
+                                          time_limit_ms)
+            paths.append(write_spec_config(
+                scene_dir, scene, spec, tech, block,
+                f"{scene}_{variant}{suffix}", res[0], res[1],
+                write_objs=first))
+            first = False
+    return paths
+
+
+def write_box_field_big(out_dir: str, res=(512, 512)) -> list[str]:
+    """Generate the ~300k-tri 5th quality scene ON DEMAND (the OBJ is
+    ~17 MB, so it is not committed; tools/quality_r05.py calls this when
+    configs/box_field_big/ is missing).  512x512: the reduced-res GT
+    protocol for the fused-layout tier."""
+    from evplp_tpu.scene.procedural import box_field_big_spec
+    return write_scene_matrix(out_dir, "box_field_big",
+                              box_field_big_spec(), res)
+
+
 def write_reference_matrix(out_dir: str, res=(1280, 720),
                            time_limit_ms: float = 15000.0) -> list[str]:
     """The shipped configs/ tree: 4 scenes x 10 variants, reference
@@ -181,18 +212,8 @@ def write_reference_matrix(out_dir: str, res=(1280, 720),
     }
     paths = []
     for scene, spec in specs.items():
-        scene_dir = os.path.join(out_dir, scene)
-        first = True
-        for variant in VARIANTS:
-            for progressive in (False, True):
-                suffix = "_progressive" if progressive else ""
-                tech, block = technique_block(variant, scene, progressive,
-                                              time_limit_ms)
-                paths.append(write_spec_config(
-                    scene_dir, scene, spec, tech, block,
-                    f"{scene}_{variant}{suffix}", res[0], res[1],
-                    write_objs=first))
-                first = False
+        paths.extend(write_scene_matrix(out_dir, scene, spec, res,
+                                        time_limit_ms))
     return paths
 
 

@@ -343,6 +343,21 @@ def box_field(num_boxes: int = 2000, seed: int = 0,
                                  room_scale))
 
 
+def box_field_big_spec(num_boxes: int = 25_000) -> dict:
+    """~300k-triangle quality scene: crosses the `big` layout threshold
+    (scene.py: >280k tris -> 42-tri leaves + fused node rows), so its
+    RMSE rows execute the fused-meta production path end-to-end —
+    the tier the 33k-tri box_field cannot reach.  Constant box density
+    via room_scale (see box_field_spec)."""
+    import math
+    return box_field_spec(num_boxes, seed=0,
+                          room_scale=math.sqrt(num_boxes / 8500.0))
+
+
+def box_field_big(num_boxes: int = 25_000) -> SceneData:
+    return _build(box_field_big_spec(num_boxes))
+
+
 def furnace_scene(intensity: float = 2.0,
                   albedo: float = 0.65) -> SceneData:
     """Analytic "furnace" enclosure: the ENTIRE [0,1]^3 cube interior is the

@@ -539,6 +539,66 @@ def closest_and_segment(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
     return hit, occ
 
 
+@partial(jax.jit, static_argnames=("leaf_size", "force_sort"))
+def closest_and_segment_carry(tris: Triangles, bvh: BVH, o, d, t_min, t_max,
+                              seg_to, carry, seg_eps: float = 1e-5,
+                              seg_live=None, leaf_size: int = 8,
+                              force_sort: bool = False):
+    """closest_and_segment with results LEFT IN SORTED ORDER and the
+    caller's carry columns (R, K) riding the same row gather — PT's
+    sorted-state-ACROSS-bounces mode: the per-vertex inverse permutation
+    disappears and the caller scatters back to pixel order ONCE per
+    frame via an index column it carries (roadmap 2a / VERDICT r4 #5).
+
+    Returns (Hit, occluded, o_sorted, d_sorted, carry_sorted) — all five
+    in one consistent order that is some permutation of the input order.
+    Off the packet path (CPU tests, dense scenes) no sort happens and
+    the input order IS that order; force_sort=True exercises the
+    permutation logic on the fallback tracer (tests without a TPU)."""
+    r = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    packet = (tris.v0.shape[0] > BRUTE_FORCE_MAX_TRIS
+              and _use_packet(tris, bvh))
+    db = seg_to - o
+    tmin_b = jnp.full((r,), seg_eps, jnp.float32)
+    tmax_b = jnp.full((r,), 1.0 - seg_eps, jnp.float32)
+    if seg_live is not None:
+        tmax_b = jnp.where(seg_live, tmax_b, 0.0)
+    if packet or force_sort:
+        dead = (t_max <= t_min) & (tmax_b <= tmin_b)
+        perm = jnp.argsort(_shared_sort_key(bvh, o, d, dead), stable=True)
+        packed = jnp.concatenate(
+            [o, d, t_min[:, None], t_max[:, None],
+             db, tmin_b[:, None], tmax_b[:, None], carry], axis=1)[perm]
+        o_s, d_s = packed[:, 0:3], packed[:, 3:6]
+        if packet:
+            stream = _stream_tris(tris, bvh)
+            t, prim, u, v = _packet_trace(
+                bvh, o_s, d_s, packed[:, 6], packed[:, 7], False, None,
+                sorted_shape=True, stream=stream)
+            _, prim_b, _, _ = _packet_trace(
+                bvh, o_s, packed[:, 8:11], packed[:, 11], packed[:, 12],
+                True, None, sorted_shape=True, stream=stream)
+            occ = prim_b >= 0
+        else:
+            hit = intersect_closest(tris, bvh, o_s, d_s,
+                                    t_min=packed[:, 6], t_max=packed[:, 7],
+                                    leaf_size=leaf_size)
+            t, prim, u, v = hit.t, hit.prim, hit.u, hit.v
+            occ = occluded_segment(tris, bvh, o_s, o_s + packed[:, 8:11],
+                                   eps=seg_eps, leaf_size=leaf_size,
+                                   live=packed[:, 12] > 0.5)
+        return (Hit(t=t, prim=prim, u=u, v=v), occ, o_s, d_s,
+                packed[:, 13:])
+    hit = intersect_closest(tris, bvh, o, d, t_min=t_min, t_max=t_max,
+                            leaf_size=leaf_size, sort_rays=True)
+    occ = occluded_segment(tris, bvh, o, seg_to, eps=seg_eps,
+                           leaf_size=leaf_size, live=seg_live,
+                           sort_rays=True)
+    return hit, occ, o, d, carry
+
+
 # packet kernel implementation switch (A/B): "packet3" = one grid step per
 # ray block (default); "packet7" = two-level loop (tiny traversal body +
 # burst drains — measured at parity, kept as the documented alternate;

@@ -80,3 +80,46 @@ def test_pt_cornell_sanity():
     # the light is occluded from the camera by the ceiling? no — visible at top
     assert li.max() > 0 or True  # smoke: shape + finite
     assert np.isfinite(li).all()
+
+
+def test_closest_and_segment_carry_force_sort_matches():
+    """The sorted-carry trace (sorted results + carry columns riding the
+    row gather) computes the same per-lane intersections as the
+    pixel-order closest_and_segment, once scattered back via the carried
+    index column (force_sort exercises the permutation logic on the
+    fallback tracer — the packet branch shares it)."""
+    from evplp_tpu.scene.procedural import box_field
+    from evplp_tpu.trace.intersect import (closest_and_segment,
+                                           closest_and_segment_carry)
+
+    scene = box_field(num_boxes=300)  # > BRUTE_FORCE_MAX_TRIS: real BVH
+    k = jax.random.PRNGKey(5)
+    r = 512
+    lo = scene.bvh.node_min[0]
+    hi = scene.bvh.node_max[0]
+    o = jax.random.uniform(k, (r, 3)) * (hi - lo) * 0.8 + lo + 0.1
+    d = jax.random.normal(jax.random.fold_in(k, 1), (r, 3))
+    seg_to = jax.random.uniform(jax.random.fold_in(k, 2), (r, 3)) * \
+        (hi - lo) * 0.8 + lo + 0.1
+    t_max = jnp.where(jnp.arange(r) % 5 == 0, 0.0, 3.0e38)  # dead lanes
+    live = jnp.arange(r) % 7 != 0
+
+    hit, occ = closest_and_segment(scene.tris, scene.bvh, o, d,
+                                   1e-5, t_max, seg_to, seg_live=live)
+    carry = jnp.concatenate(
+        [jnp.arange(r, dtype=jnp.float32)[:, None],
+         o * 2.0], axis=1)  # index col + payload
+    hit_s, occ_s, o_s, d_s, cs = closest_and_segment_carry(
+        scene.tris, scene.bvh, o, d, 1e-5, t_max, seg_to, carry,
+        seg_live=live, force_sort=True)
+    idx = np.asarray(cs[:, 0]).astype(np.int64)
+    assert sorted(idx.tolist()) == list(range(r))  # a real permutation
+    assert not (idx == np.arange(r)).all()          # that actually sorts
+    np.testing.assert_allclose(np.asarray(o)[idx], np.asarray(o_s),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(cs[:, 1:4]),
+                               np.asarray(o)[idx] * 2.0, rtol=0, atol=0)
+    for a, b in ((hit.t, hit_s.t), (hit.prim, hit_s.prim),
+                 (hit.u, hit_s.u), (hit.v, hit_s.v), (occ, occ_s)):
+        np.testing.assert_allclose(np.asarray(a)[idx], np.asarray(b),
+                                   rtol=0, atol=0)
