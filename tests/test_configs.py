@@ -13,7 +13,11 @@ from evplp_tpu.runtime.render import render_job
 from evplp_tpu.scene.config import load_config
 
 CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
-ALL = sorted(glob.glob(os.path.join(CONFIGS, "*", "*.json")))
+# box_field_big/ is GENERATED on demand by tools/quality_r05.py ensure()
+# (the ~17 MB OBJ is git-ignored); exclude it from the committed matrix —
+# its pipeline is exercised by the quality protocol itself.
+ALL = sorted(p for p in glob.glob(os.path.join(CONFIGS, "*", "*.json"))
+             if os.path.basename(os.path.dirname(p)) != "box_field_big")
 
 
 def test_matrix_complete():
