@@ -76,7 +76,8 @@ def run_techniques(scene: str, variants=VARIANTS, art: str = None,
         np.savez_compressed(
             os.path.join(art, f"{scene}_{variant}.npz"),
             img=result.images[key].astype(np.float32),
-            iters=result.num_iterations, time_ms=result.time_ms)
+            iters=result.num_iterations, time_ms=result.time_ms,
+            dropped=result.stats.get("dropped_splat_pairs", 0))
         print(f"{scene}_{variant}: {result.num_iterations} iters in "
               f"{result.time_ms:.0f} ms (wall {time.time()-t0:.0f}s) "
               f"{result.stats}", flush=True)

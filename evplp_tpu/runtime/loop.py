@@ -374,25 +374,33 @@ def run_pt(job: RenderJob, output_dir: str | None = None,
             new_acc = acc + result if accumulate else result
             return new_acc, light
     else:
+        # scene rides as a jit ARGUMENT (pytree leaves -> runtime
+        # parameters): closing over a multi-M-triangle scene would bake
+        # 100+ MB of constants into the serialized module, which the
+        # remote-compile service rejects (HTTP 413) and which bloats the
+        # compile cache even where it is accepted.
         @jax.jit
-        def frame(acc, light_acc, key):
+        def _frame(sc, acc, light_acc, key):
             if p.use_jitter:
                 u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
                 jitter = (2.0 * u - 1.0) / jnp.asarray(
                     [job.width, job.height], jnp.float32)
             else:
                 jitter = None
-            gbuf = trace_gbuffer(scene, job.width, job.height, jitter)
+            gbuf = trace_gbuffer(sc, job.width, job.height, jitter)
             result = jnp.zeros((n, 3), jnp.float32)
             for s in range(p.num_sample_per_pixel):
-                result += render_pt_frame(scene, gbuf,
+                result += render_pt_frame(sc, gbuf,
                                           jax.random.fold_in(key, s),
                                           p.num_max_bounces,
                                           tile_shape=(job.height, job.width))
             result /= p.num_sample_per_pixel
-            light = light_image(scene, gbuf)
+            light = light_image(sc, gbuf)
             new_acc = acc + result if accumulate else result
             return new_acc, light
+
+        def frame(acc, light_acc, key):
+            return _frame(scene, acc, light_acc, key)
 
     acc = jnp.zeros((n, 3), jnp.float32)
     light = jnp.zeros((n, 3), jnp.float32)

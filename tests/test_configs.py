@@ -13,11 +13,13 @@ from evplp_tpu.runtime.render import render_job
 from evplp_tpu.scene.config import load_config
 
 CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
-# box_field_big/ is GENERATED on demand by tools/quality_r05.py ensure()
-# (the ~17 MB OBJ is git-ignored); exclude it from the committed matrix —
-# its pipeline is exercised by the quality protocol itself.
+# box_field_big/ and box_field_huge/ are GENERATED on demand by
+# tools/quality_r05.py (the 17/140 MB OBJs are git-ignored); exclude them
+# from the committed matrix — their pipelines are exercised by the
+# quality protocol itself.
+GENERATED = ("box_field_big", "box_field_huge")
 ALL = sorted(p for p in glob.glob(os.path.join(CONFIGS, "*", "*.json"))
-             if os.path.basename(os.path.dirname(p)) != "box_field_big")
+             if os.path.basename(os.path.dirname(p)) not in GENERATED)
 
 
 def test_matrix_complete():

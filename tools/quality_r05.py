@@ -81,87 +81,49 @@ def report():
     return out
 
 
-def stretch(num_boxes=200_000, gt_iters=120, frames=3, res=256):
-    """EVPLP vs PT-GT MSE at the STREAMED(+packed16) tier: 2.4M tris,
-    few frames.  Not equal-time — a layout-correctness row (a fused-meta
-    decode or stream-DMA bug breaks the image long before convergence)."""
+def stretch(num_boxes=200_000, gt_iters=120, res=256):
+    """EVPLP vs PT-GT MSE at the STREAMED+packed16 tier (~3.6M tris) —
+    through the PRODUCTION config -> loop path (the same parameter
+    derivation every other quality row uses; a first hand-rolled cut
+    mis-derived splat caps and dropped 5.5M pairs).  Equal-time ours at
+    this scale is a handful of frames — a layout-correctness row (a
+    packed16 decode or stream-DMA bug breaks the image long before
+    convergence), not a convergence row."""
     import time
 
     import numpy as np
 
-    q._setup_cache()
-    import jax
-    import jax.numpy as jnp
+    from evplp_tpu.scene.export import write_scene_matrix
+    from evplp_tpu.scene.procedural import box_field_big_spec
 
-    from evplp_tpu.core.sampling import iteration_key
-    from evplp_tpu.integrators.gbuffer import light_image, trace_gbuffer
-    from evplp_tpu.integrators.photon_fam import (PhotonFamConfig,
-                                                  init_state,
-                                                  photon_fam_frame)
-    from evplp_tpu.integrators.pt import render_pt_frame
-    from evplp_tpu.runtime import film
-    from evplp_tpu.scene.procedural import box_field_big
+    scene = "box_field_huge"
+    d = os.path.join(CONFIGS, scene)
+    t0 = time.time()
+    if not os.path.exists(os.path.join(d, f"{scene}.obj")):
+        write_scene_matrix(CONFIGS, scene, box_field_big_spec(num_boxes),
+                           (res, res))
+        print(f"generated {d} ({time.time()-t0:.0f}s)", flush=True)
 
     os.makedirs(ART, exist_ok=True)
-    t0 = time.time()
-    scene = box_field_big(num_boxes)
-    tris_n = int(scene.tris.v0.shape[0])
-    print(f"scene: {tris_n} tris (build {time.time()-t0:.0f}s)", flush=True)
+    q.run_gt(scene, gt_iters, ART)
+    q.run_techniques(scene, ("ours",), ART)
 
-    n = res * res
-
-    @jax.jit
-    def pt_frame(acc, key):
-        u = jax.random.uniform(jax.random.fold_in(key, 999), (2,))
-        jitter = (2.0 * u - 1.0) / jnp.asarray([res, res], jnp.float32)
-        gbuf = trace_gbuffer(scene, res, res, jitter)
-        return acc + render_pt_frame(scene, gbuf, key, 3), \
-            light_image(scene, gbuf)
-
-    acc = jnp.zeros((n, 3), jnp.float32)
-    light = None
-    for i in range(gt_iters):
-        acc, light = pt_frame(acc, iteration_key(0, i))
-        if i == 0:
-            jax.block_until_ready(acc)
-            print(f"gt frame 0 done at {time.time()-t0:.0f}s", flush=True)
-    gt = film.composite(acc, jnp.zeros_like(acc), light,
-                        vpl_scale=1.0 / gt_iters, photon_scale=0.0)
-    gt = np.asarray(gt).reshape(res, res, 3)
-    mask = np.asarray(light[:, 0] <= 0.0).reshape(res, res)
-    print(f"gt: {gt_iters} iters at {time.time()-t0:.0f}s", flush=True)
-
-    cfg = PhotonFamConfig(
-        width=res, height=res, num_light_paths=300_000,
-        num_vpl_light_paths=30, num_records=4, mis_mode=1,
-        accumulate=True, use_jitter=True,
-        splat_tile=8, splat_cap=192, splat_span=2)
-    radius = scene.bounding_radius * 0.003
-    pdf_mc = (cfg.num_vpl_light_paths / cfg.num_light_paths) / \
-        float(np.pi) / (radius * radius)
-    state = init_state(cfg)
-    for i in range(frames):
-        state = photon_fam_frame(scene, cfg, state, iteration_key(0, i),
-                                 jnp.float32(radius),
-                                 jnp.float32(1.0 / scene.total_area),
-                                 jnp.float32(pdf_mc), jnp.float32(0.0))
-    jax.block_until_ready(state.vpl_acc)
-    img = film.to_image(
-        state.light_img + (state.vpl_acc + state.photon_acc) / frames,
-        res, res)
+    gtz = np.load(os.path.join(ART, f"{scene}_gt.npz"))
+    ours = np.load(os.path.join(ART, f"{scene}_ours.npz"))
+    gt, mask, img = gtz["img"], gtz["mask"], ours["img"]
+    tris_n, tier = _layout(scene)
     out = {
-        "tris": tris_n, "res": res, "gt_iters": gt_iters,
-        "evplp_frames": frames,
-        "dropped_splat_pairs": int(state.dropped),
+        "tris": tris_n, "trace_path": tier, "res": res,
+        "gt_iters": int(gtz["iters"]), "evplp_iters": int(ours["iters"]),
+        "evplp_time_ms": float(ours["time_ms"]),
+        "dropped_splat_pairs": int(ours["dropped"])
+        if "dropped" in ours else None,
         "mse": q.masked_mse(img, gt, mask),
         "rel_mse": q.masked_rel_mse(img, gt, mask),
         "gt_mean": float(gt[mask].mean()),
-        "evplp_mean": float(np.asarray(img)[mask].mean()),
+        "evplp_mean": float(img[mask].mean()),
         "wall_s": round(time.time() - t0, 1),
     }
-    np.savez_compressed(os.path.join(ART, "stretch_imgs.npz"),
-                        gt=gt.astype(np.float32),
-                        evplp=np.asarray(img, np.float32), mask=mask)
     with open(os.path.join(ART, "stretch.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1), flush=True)
