@@ -54,11 +54,12 @@ def main():
     jax.block_until_ready(gbuf.position)
     n = W * H
 
+    @jax.jit
     def lt(i):
         return trace_light_paths(scene, iteration_key(2, i), PATHS,
                                  BOUNCES + 1).flux
 
-    ms_lt = timed(lambda i: lt(i), reps=REPS)
+    ms_lt = timed(lambda i: lt(jnp.int32(i)), reps=REPS)
 
     def full(i):
         pm = trace_light_paths(scene, iteration_key(2, i), PATHS,
