@@ -53,9 +53,13 @@ from evplp_tpu.trace.intersect import (Hit, closest_and_segment,
 # row gather permutes it for free), dropping the per-vertex inverse
 # permutation; one scatter restores pixel order at frame end.  RNG draws
 # key on a carried pixel-index column, so the estimator stream is
-# IDENTICAL to the pixel-order formulation.  "0" restores the
-# inverse-permute-per-vertex path (A/B sandwich knob).
-SORTED_CARRY = _os.environ.get("EVPLP_PT_SORTED_CARRY", "1") not in ("0",)
+# IDENTICAL to the pixel-order formulation.  Default OFF: the round-5
+# A/B/A/B sandwich measured the carry path a reproducible 1.088x SLOWER
+# (923.7/848.5/923.0/848.5 ms, identical checksums — the carried columns
+# widen the hot trace's row gather by more than the dropped inverse
+# permutation cost; tools/probe_r05_pt.py, NOTES.md round-5 log).  "1"
+# selects the carry path (A/B sandwich knob; estimator-identical).
+SORTED_CARRY = _os.environ.get("EVPLP_PT_SORTED_CARRY", "0") not in ("0",)
 
 
 def _emit_profile(light_n, to_prev, exponent):
