@@ -378,6 +378,14 @@ def _permute_gbuf(gbuf: GBuffer, perm):
 # and trips the remote runtime's execution watchdog; chunked dispatch
 # keeps programs short.
 VSL_RECORD_CHUNK = 16
+# Records per dispatch on the Pallas-kernel path.  The 16-record chunk
+# exists for the XLA sample loop, whose per-record programs can run
+# tens of seconds (watchdog).  With the kernel a GROUP costs ~20 ms, so
+# 16-record chunks mean 25 dispatches/frame at protocol scale — and the
+# remote-tunnel RPC overhead of those dispatches was measured at ~25% of
+# the VSL frame (NOTES round 5).  128 records/dispatch keeps programs
+# ~0.3 s (far under the watchdog) with 4 dispatches/frame.
+VSL_RECORD_CHUNK_KERNEL = 128
 TRACE_GROUP = 8          # records per batched record-major shadow trace
 KERNEL_ROWS = 32         # Pallas sample-kernel block = KERNEL_ROWS*128 px
 
@@ -396,13 +404,15 @@ def _use_sample_kernel() -> bool:
 def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
                vsl_radius, num_vsl_paths: int,
                pixel_offset=0, tile_shape=None,
-               record_chunk: int | None = VSL_RECORD_CHUNK,
+               record_chunk: int | None | str = "auto",
                pixel_sort: bool = True) -> jnp.ndarray:
     """VSL pass over the first num_vsl_paths paths (splatSplotch:689-722).
 
     pixel_offset: global id of gbuf's first pixel (row-sharded runs).
     record_chunk: None -> one fused scan (required inside shard_map);
-    an int -> python-driven chunks of that many records per dispatch.
+    an int -> python-driven chunks of that many records per dispatch;
+    "auto" -> VSL_RECORD_CHUNK_KERNEL on the Pallas-kernel path, else
+    VSL_RECORD_CHUNK (EVPLP_VSL_CHUNK overrides both).
     pixel_sort: difficulty-sort pixels so each sorted chunk's sample loop
     runs to its own bound (exact same estimator; ~an order of magnitude
     faster at protocol scale).  Shadow traces always run in SCREEN order
@@ -458,6 +468,14 @@ def vsl_gather(scene: SceneData, gbuf: GBuffer, pm: PhotonMap, key,
     grouped = {k: v.reshape((mg, TRACE_GROUP) + v.shape[1:])
                for k, v in records.items()}
 
+    if record_chunk == "auto":
+        import os
+        env = os.environ.get("EVPLP_VSL_CHUNK")
+        if env:
+            record_chunk = int(env)
+        else:
+            record_chunk = (VSL_RECORD_CHUNK_KERNEL if kernel_rows
+                            else VSL_RECORD_CHUNK)
     if record_chunk is None or record_chunk >= m + pad:
         gstep = mg
     else:

@@ -453,9 +453,14 @@ def ctx_planes(position, rec_pos, radius):
     cos_half = jnp.cos(half_cone)
     num = (half_cone * (200.0 / jnp.pi)).astype(jnp.int32) + 1
     ncnt = -(-g // 4)
-    cnt = jnp.zeros((ncnt, n), jnp.int32)
-    for i in range(g):
-        cnt = cnt.at[i // 4].set(cnt[i // 4] | (num[i] << (8 * (i % 4))))
+    # byte-pack 4 records per int32 plane in one fused op (bytes are
+    # disjoint and num <= MAX(101+?) < 256, so sum == bitwise-or)
+    pad = ncnt * 4 - g
+    if pad:
+        num = jnp.concatenate([num, jnp.zeros((pad, n), jnp.int32)])
+    shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)[None, :, None]
+    cnt = jnp.sum(num.reshape(ncnt, 4, n) << shifts, axis=1,
+                  dtype=jnp.int32)
     return (cos_half.reshape(g, n // LANES, LANES),
             cnt.reshape(ncnt, n // LANES, LANES))
 
