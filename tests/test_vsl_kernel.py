@@ -110,3 +110,29 @@ def test_vsl_gather_kernel_path_matches_xla(monkeypatch):
     a, b = np.asarray(a), np.asarray(b)
     assert a.max() > 0
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+def test_vsl_gather_chunk_invariance(monkeypatch):
+    """Kernel-path dispatch chunking is estimator-invariant: explicit
+    16-record chunks == the "auto" default (VSL_RECORD_CHUNK_KERNEL) ==
+    one fused scan (record_chunk=None, the shard_map variant), bit for
+    bit (draws are a pure function of (pixel, record, s))."""
+    from evplp_tpu.core.sampling import iteration_key
+    from evplp_tpu.integrators.gbuffer import trace_gbuffer
+    from evplp_tpu.integrators.light_trace import trace_light_paths
+    from evplp_tpu.scene.procedural import cornell_box
+
+    vsl_kernel.set_interpret(True)
+    monkeypatch.setenv("EVPLP_VSL_KERNEL", "1")
+    scene = cornell_box()
+    gbuf = trace_gbuffer(scene, 64, 64)
+    pm = trace_light_paths(scene, iteration_key(7, 0), 16, 3)
+    r = jnp.float32(0.08)
+    a = vsl.vsl_gather(scene, gbuf, pm, iteration_key(8, 0), r, 16,
+                       record_chunk=16)
+    b = vsl.vsl_gather(scene, gbuf, pm, iteration_key(8, 0), r, 16)
+    c = vsl.vsl_gather(scene, gbuf, pm, iteration_key(8, 0), r, 16,
+                       record_chunk=None)
+    a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+    assert a.max() > 0
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
